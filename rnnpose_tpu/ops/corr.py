@@ -1,0 +1,102 @@
+"""All-pairs correlation volume + windowed pyramid lookup (RAFT-style).
+
+TPU-native re-design of the reference `thirdparty/raft/corr.py:12-67`
+(`CorrBlock`): the volume build is one big MXU matmul; the per-iteration
+lookup is a windowed bilinear gather over a 4-level average-pool pyramid.
+
+Functional API — the pyramid is built once per render iteration and threaded
+through the `lax.scan` carry of the GRU loop (replacing the reference's
+mutable `self.corr_fn` module state, `model/CFNet.py:115-133`).
+
+Layout: feature maps are channel-last (B, H, W, C); the volume is kept as
+(B, N, Hl, Wl) with N = H*W query pixels.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from .sampler import bilinear_sample
+
+__all__ = ["CorrPyramid", "build_corr_pyramid", "corr_lookup"]
+
+
+class CorrPyramid(NamedTuple):
+    """Correlation pyramid: levels[i] has shape (B, N, H/2^i, W/2^i)."""
+
+    levels: Tuple[jnp.ndarray, ...]
+    h: int
+    w: int
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+def _avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (..., H//2, W//2) mean pooling."""
+    s = x.shape
+    x = x.reshape(*s[:-2], s[-2] // 2, 2, s[-1] // 2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def build_corr_pyramid(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+) -> CorrPyramid:
+    """All-pairs correlation, then a `num_levels` avg-pool pyramid.
+
+    Args:
+      fmap1, fmap2: (B, H, W, C) feature maps (1/8 resolution).
+    Returns:
+      CorrPyramid with levels (B, H*W, H/2^i, W/2^i), scaled by 1/sqrt(C)
+      (reference `corr.py:54-67`).
+    """
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C)
+    f2 = fmap2.reshape(B, H * W, C)
+    corr = jnp.einsum(
+        "bnc,bmc->bnm", f1, f2, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(C, fmap1.dtype)).astype(jnp.float32)
+    corr = corr.reshape(B, H * W, H, W)
+    levels = [corr]
+    for _ in range(num_levels - 1):
+        levels.append(_avg_pool2x2(levels[-1]))
+    return CorrPyramid(levels=tuple(levels), h=H, w=W)
+
+
+def corr_lookup(
+    pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Sample a (2r+1)^2 window around `coords/2^i` at every pyramid level.
+
+    Args:
+      pyramid: from `build_corr_pyramid`.
+      coords: (B, H, W, 2) current correspondence estimate in pixels at 1/8 res.
+      radius: lookup radius r (reference corr_radius=4 -> 81 taps/level).
+    Returns:
+      (B, H, W, num_levels * (2r+1)^2) correlation features, level-major then
+      row-major window order — matching the reference concat order
+      (`corr.py:36-57`) for checkpoint compatibility.
+    """
+    B, H, W, _ = coords.shape
+    N = H * W
+    r = radius
+    win = 2 * r + 1
+    dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    delta = jnp.stack(
+        jnp.meshgrid(dx, dx, indexing="ij")[::-1], axis=-1
+    )  # (win, win, 2) with (x, y) channel order, rows = dy
+    delta = delta.reshape(-1, 2)  # (win*win, 2)
+
+    outs: List[jnp.ndarray] = []
+    centroid = coords.reshape(B, N, 1, 2)
+    for i, corr in enumerate(pyramid.levels):
+        Hl, Wl = corr.shape[-2], corr.shape[-1]
+        # (B*N, Hl, Wl, 1) images, (B*N, win*win, 2) coords
+        img = corr.reshape(B * N, Hl, Wl, 1)
+        c = centroid / (2.0 ** i) + delta[None, None]  # (B, N, win*win, 2)
+        c = c.reshape(B * N, win * win, 2)
+        sampled = bilinear_sample(img, c)  # (B*N, win*win, 1)
+        outs.append(sampled.reshape(B, H, W, win * win))
+    return jnp.concatenate(outs, axis=-1)

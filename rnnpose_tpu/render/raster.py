@@ -1,0 +1,229 @@
+"""Differentiable mesh rasterization, TPU-first.
+
+Replaces the reference's dependency on the PyTorch3D CUDA rasterizer
+(`geometry/diff_render_optim.py:185-199,269-325`: rasterize once, then
+interpolate vertex attributes with the barycentric coordinates).
+
+Design (see SURVEY.md §7.4): rasterization itself is **not** on the gradient
+path — the reference detaches depth and poses into the renderer
+(`model/PoseRefiner.py:141,248-251`); gradients flow only through
+`interpolate_attributes` w.r.t. the per-vertex attribute values. So the
+z-buffer resolve can be computed without autodiff bookkeeping, and the
+attribute interpolation is a plain gather + weighted sum.
+
+The core loop is MXU-shaped: per face-chunk, the three edge functions of all
+faces at all pixels are ONE matmul `[P, 3] @ [3, 3C]` (pixel homogeneous
+coords x edge-coefficient matrix), followed by a VPU inside-test + z-resolve
+folded into a `lax.scan` min-reduction over chunks. Meshes are decimated /
+padded to a static face budget at load time (`render/mesh.py`), so shapes
+are fully static. Screen-space (non-perspective-correct) barycentrics match
+PyTorch3D's rasterizer defaults used by the reference.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import projective as proj
+
+__all__ = ["Fragments", "rasterize", "interpolate_attributes", "render_mesh_attributes"]
+
+_FAR = 1e9
+_AREA_EPS = 1e-9
+
+
+class Fragments(NamedTuple):
+    """Per-pixel rasterization results (PyTorch3D naming for familiarity)."""
+
+    face_id: jnp.ndarray  # (B, H, W) int32, -1 where background
+    bary: jnp.ndarray     # (B, H, W, 3) screen-space barycentric coords
+    zbuf: jnp.ndarray     # (B, H, W) interpolated depth, 0 where background
+
+
+def _face_screen_data(uv, z, faces, face_valid):
+    """Per-face screen-space vertex data + edge coefficients.
+
+    Returns:
+      edge_coef: (F, 3, 3) rows [a, b, c] with E_k(x, y) = a x + b y + c
+        being twice the signed area of (p, v_{k+1}, v_{k+2}).
+      zf: (F, 3) per-corner depths.
+      valid: (F,) non-degenerate, fully-front faces.
+      area2: (F,) twice signed area.
+    """
+    fuv = uv[faces]                   # (F, 3, 2)
+    zf = z[faces]                     # (F, 3)
+    x0, y0 = fuv[:, 0, 0], fuv[:, 0, 1]
+    x1, y1 = fuv[:, 1, 0], fuv[:, 1, 1]
+    x2, y2 = fuv[:, 2, 0], fuv[:, 2, 1]
+    # E0 (weight of v0) from edge v1->v2, etc.
+    a = jnp.stack([y1 - y2, y2 - y0, y0 - y1], axis=-1)          # (F, 3)
+    b = jnp.stack([x2 - x1, x0 - x2, x1 - x0], axis=-1)
+    c = jnp.stack(
+        [x1 * y2 - x2 * y1, x2 * y0 - x0 * y2, x0 * y1 - x1 * y0], axis=-1
+    )
+    edge_coef = jnp.stack([a, b, c], axis=-1)                    # (F, 3, 3)
+    area2 = a[:, 0] * x0 + b[:, 0] * y0 + c[:, 0]  # E0 at v0 == 2*area
+    front = jnp.all(zf > proj.MIN_DEPTH, axis=-1)
+    valid = face_valid & front & (jnp.abs(area2) > _AREA_EPS)
+    return edge_coef, zf, valid, area2
+
+
+def _rasterize_single(uv, z, faces, face_valid, h, w, chunk):
+    """Rasterize one mesh instance. uv (V, 2), z (V,), faces (F, 3)."""
+    F = faces.shape[0]
+    assert F % chunk == 0, f"face count {F} must be divisible by chunk {chunk}"
+    edge_coef, zf, valid, area2 = _face_screen_data(uv, z, faces, face_valid)
+
+    # Normalize edge functions by the signed area so that E/area are the
+    # barycentric weights and orientation is handled uniformly.
+    inv_area = jnp.where(valid, 1.0 / jnp.where(valid, area2, 1.0), 0.0)
+    coef = edge_coef * inv_area[:, None, None]                   # (F, 3, 3)
+    # z baked into a 4th linear functional: depth(x, y) = sum_k bary_k z_k is
+    # itself affine in (x, y): d = (sum_k coef_k z_k) . [x, y, 1].
+    zcoef = jnp.einsum("fkc,fk->fc", coef, zf)                   # (F, 3)
+
+    grid = proj.coords_grid(h, w)                                # (H, W, 2)
+    pix = jnp.concatenate(
+        [grid.reshape(-1, 2) + 0.5, jnp.ones((h * w, 1))], axis=-1
+    )  # (P, 3) pixel centers, homogeneous
+
+    coef_chunks = coef.reshape(F // chunk, chunk, 3, 3)
+    zcoef_chunks = zcoef.reshape(F // chunk, chunk, 3)
+    valid_chunks = valid.reshape(F // chunk, chunk)
+
+    def body(carry, inp):
+        best_z, best_fid = carry
+        coef_c, zcoef_c, valid_c, base = inp
+        # One MXU matmul: (P, 3) @ (3, 4C) -> all barycentrics + depth.
+        mats = jnp.concatenate(
+            [coef_c.reshape(chunk * 3, 3), zcoef_c], axis=0
+        )  # (3C + C, 3)
+        vals = pix @ mats.T                                      # (P, 4C)
+        bary = vals[:, : chunk * 3].reshape(-1, chunk, 3)
+        depth = vals[:, chunk * 3 :]                             # (P, C)
+        inside = jnp.all(bary >= 0.0, axis=-1) & valid_c[None, :]
+        zcand = jnp.where(inside & (depth > proj.MIN_DEPTH), depth, _FAR)
+        # Nearest face within the chunk, then merge with the carry.
+        local_arg = jnp.argmin(zcand, axis=-1)                   # (P,)
+        local_z = jnp.take_along_axis(zcand, local_arg[:, None], axis=-1)[:, 0]
+        take = local_z < best_z
+        best_z = jnp.where(take, local_z, best_z)
+        best_fid = jnp.where(take, base + local_arg.astype(jnp.int32), best_fid)
+        return (best_z, best_fid), None
+
+    init = (
+        jnp.full((h * w,), _FAR, dtype=uv.dtype),
+        jnp.full((h * w,), -1, dtype=jnp.int32),
+    )
+    bases = (jnp.arange(F // chunk, dtype=jnp.int32) * chunk)
+    (best_z, best_fid), _ = jax.lax.scan(
+        body, init, (coef_chunks, zcoef_chunks, valid_chunks, bases)
+    )
+
+    hit = best_fid >= 0
+    fid_safe = jnp.where(hit, best_fid, 0)
+    # Recompute barycentrics for the winning face only (cheaper than carrying
+    # them through the scan: (P, 3) vs (P, C, 3) carry traffic).
+    bary = jnp.einsum("pc,pkc->pk", pix, coef[fid_safe])         # (P, 3)
+    bary = jnp.where(hit[:, None], bary, 0.0)
+    zout = jnp.where(hit, best_z, 0.0)
+    return (
+        jnp.where(hit, best_fid, -1).reshape(h, w),
+        bary.reshape(h, w, 3),
+        zout.reshape(h, w),
+    )
+
+
+def rasterize(
+    verts_cam: jnp.ndarray,
+    faces: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    h: int,
+    w: int,
+    face_valid: Optional[jnp.ndarray] = None,
+    chunk: int = 128,
+) -> Fragments:
+    """Rasterize camera-frame meshes.
+
+    Args:
+      verts_cam: (B, V, 3) vertices in camera frame (pose already applied).
+      faces: (F, 3) int32 triangle indices (shared across batch).
+      intrinsics: (B, 4) [fx, fy, cx, cy].
+      h, w: raster size.
+      face_valid: optional (F,) mask for padded faces.
+      chunk: faces per scan step (F must be a multiple).
+    Returns:
+      Fragments with (B, H, W[, 3]) leaves. Not on the gradient path.
+    """
+    if face_valid is None:
+        # Treat degenerate all-same-index padding faces as invalid.
+        face_valid = ~(
+            (faces[:, 0] == faces[:, 1]) & (faces[:, 1] == faces[:, 2])
+        )
+    uv, _ = proj.project(verts_cam, intrinsics[:, None, :])
+    z = verts_cam[..., 2]
+
+    def one(uv_b, z_b, _unused):
+        return _rasterize_single(uv_b, z_b, faces, face_valid, h, w, chunk)
+
+    fid, bary, zbuf = jax.vmap(one)(uv, z, intrinsics)
+    fid = jax.lax.stop_gradient(fid)
+    bary = jax.lax.stop_gradient(bary)
+    zbuf = jax.lax.stop_gradient(zbuf)
+    return Fragments(face_id=fid, bary=bary, zbuf=zbuf)
+
+
+def interpolate_attributes(
+    fragments: Fragments,
+    faces: jnp.ndarray,
+    vert_attrs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Barycentric vertex-attribute interpolation — the differentiable half.
+
+    Equivalent of PyTorch3D's `interpolate_face_attributes` as used by the
+    reference's `forward_interpolate` (`geometry/diff_render_optim.py:185-199`).
+    Gradients flow to `vert_attrs` through the gather + weighted sum.
+
+    Args:
+      fragments: from `rasterize`.
+      faces: (F, 3) int32.
+      vert_attrs: (B, V, D) per-vertex attributes.
+    Returns:
+      (B, H, W, D), zeros at background pixels.
+    """
+    fid = fragments.face_id
+    hit = fid >= 0
+    fid_safe = jnp.where(hit, fid, 0)
+
+    def one(attrs_b, fid_b, bary_b, hit_b):
+        face_attr = attrs_b[faces]                      # (F, 3, D)
+        px = face_attr[fid_b.reshape(-1)]               # (P, 3, D)
+        out = jnp.einsum("pk,pkd->pd", bary_b.reshape(-1, 3), px)
+        out = out * hit_b.reshape(-1, 1)
+        return out.reshape(fid_b.shape + (attrs_b.shape[-1],))
+
+    return jax.vmap(one)(
+        vert_attrs, fid_safe, fragments.bary, hit.astype(vert_attrs.dtype)
+    )
+
+
+def render_mesh_attributes(
+    verts_cam: jnp.ndarray,
+    faces: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    vert_attrs: jnp.ndarray,
+    h: int,
+    w: int,
+    face_valid: Optional[jnp.ndarray] = None,
+    chunk: int = 128,
+):
+    """Rasterize + interpolate in one call.
+
+    Returns (attr_maps (B, H, W, D), depth (B, H, W), mask (B, H, W)).
+    """
+    frags = rasterize(verts_cam, faces, intrinsics, h, w, face_valid, chunk)
+    attr = interpolate_attributes(frags, faces, vert_attrs)
+    mask = (frags.face_id >= 0).astype(verts_cam.dtype)
+    return attr, frags.zbuf, mask
