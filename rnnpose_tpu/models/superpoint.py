@@ -1,0 +1,88 @@
+"""SuperPoint-style 2D descriptor network in flax (NHWC).
+
+Re-implementation of the reference `model/descriptor2D.py` (`SuperPoint2D`):
+VGG-style shared encoder (4 x {conv, conv, pool}, channels 64/64/128/128,
+`descriptor2D.py:46-56`), a 3-stage bilinear-upsample decoder with skip
+connections (71-86, 134-141), a full-resolution saliency head (sigmoid or
+spatial softmax, 143-155) and an L2-normalized descriptor head (160-164).
+
+The reference warm-starts from `weights/superpoint_v1.pth` with a
+shape-filtered non-strict load (90-92, 100-110); the converted-checkpoint
+loader in `models/convert.py` mirrors that.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .raft import InstanceNorm
+
+__all__ = ["SuperPoint2D"]
+
+
+def _upsample2x(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "bilinear")
+
+
+class SuperPoint2D(nn.Module):
+    """Dense saliency + descriptor network.
+
+    Args mirror the reference config (`template_fw0.5.yml` model.desc_net_2d):
+      descriptor_dim: output descriptor channels (32).
+      input_dim: 3 for RGB, 1 averages channels first (`descriptor2D.py:113-115`).
+      score_normalization: 'sigmoid' | 'softmax' (over all pixels).
+      normalize_output: L2-normalize descriptors.
+    """
+
+    descriptor_dim: int = 32
+    input_dim: int = 3
+    score_normalization: str = "sigmoid"
+    normalize_output: bool = True
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """image: (B, H, W, 3) -> (scores (B, H, W, 1), desc (B, H, W, D))."""
+        x = image
+        if self.input_dim == 1:
+            x = jnp.mean(x, axis=-1, keepdims=True)
+
+        c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+        skips = []
+        for i, ch in enumerate((c1, c2, c3, c4)):
+            x = nn.relu(nn.Conv(ch, (3, 3), name=f"conv{i + 1}a")(x))
+            x = nn.relu(nn.Conv(ch, (3, 3), name=f"conv{i + 1}b")(x))
+            if i < 3:
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        # Decoder: upsample -> conv -> norm -> relu; concat encoder skips
+        # (1/4 then 1/2 res), reference `descriptor2D.py:71-88,134-141`.
+        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), name="decode1")(_upsample2x(x))))
+        x = jnp.concatenate([x, skips[2]], axis=-1)
+        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), name="decode2")(_upsample2x(x))))
+        x = jnp.concatenate([x, skips[1]], axis=-1)
+        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), name="decode3")(_upsample2x(x))))
+
+        # Saliency head.
+        pa = nn.relu(InstanceNorm()(nn.Conv(c5, (3, 3), name="convPa")(x)))
+        scores = nn.Conv(1, (1, 1), name="convPb")(pa)
+        if self.score_normalization == "sigmoid":
+            scores = nn.sigmoid(scores)
+        elif self.score_normalization == "softmax":
+            b, h, w, _ = scores.shape
+            scores = jax.nn.softmax(scores.reshape(b, -1), axis=-1).reshape(b, h, w, 1)
+        else:
+            raise ValueError(self.score_normalization)
+
+        # Descriptor head.
+        da = nn.relu(nn.Conv(c5, (3, 3), name="convDa")(x))
+        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(da)
+        if self.normalize_output:
+            desc = desc / jnp.maximum(
+                jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
+            )
+        return scores, desc
