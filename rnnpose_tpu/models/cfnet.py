@@ -1,0 +1,85 @@
+"""Correspondence-field (flow) network components.
+
+Functional re-design of the reference `model/CFNet.py`:
+  * `ImageFeaEncoder` (`CFNet.py:24-47`): RAFT BasicEncoder over both images,
+    inputs normalized to [-1, 1]. The reference concatenates the two images
+    into one batch for a single encoder pass — same here.
+  * `GRU_CFUpdator` (`CFNet.py:50-173`) kept its correlation pyramid, context
+    split and GRU hidden state as *module state* mutated across calls
+    (`self.corr_fn/self.net/self.inp`, lines 115-133). Here that state is an
+    explicit value threaded through the PoseRefiner's `lax.scan` carry
+    (`models/refiner.py`), and this module only provides the pure pieces:
+    context splitting and a single GRU flow step.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import corr as corr_ops
+from ..ops.upsample import convex_upsample
+from .raft import BasicEncoder, BasicUpdateBlock
+
+__all__ = ["ImageFeaEncoder", "GRUFlowStep", "split_context", "downsample_flow"]
+
+
+class ImageFeaEncoder(nn.Module):
+    """Encode both crop images to 1/8-res 256-d feature maps."""
+
+    output_dim: int = 256
+
+    @nn.compact
+    def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray):
+        # Images arrive in [0, 1]; RAFT normalization is 2x-1
+        # (reference `CFNet.py:39-40` does 2*(x/255)-1 on byte-range images).
+        x = jnp.concatenate([img1, img2], axis=0)
+        x = 2.0 * x - 1.0
+        fmap = BasicEncoder(self.output_dim, norm_fn="instance", name="fnet")(x)
+        b = img1.shape[0]
+        return fmap[:b], fmap[b:]
+
+
+def split_context(
+    cfea: jnp.ndarray, hidden_dim: int = 128, context_dim: int = 128
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rendered 3D context features -> initial GRU hidden + input.
+
+    Downsample to 1/8, split channels [hidden | context], tanh/relu
+    (reference `CFNet.py:124-133`).
+    """
+    b, h, w, c = cfea.shape
+    assert c >= hidden_dim + context_dim, f"context features too thin: {c}"
+    lr = jax.image.resize(cfea, (b, h // 8, w // 8, c), "bilinear")
+    net = jnp.tanh(lr[..., :hidden_dim])
+    inp = nn.relu(lr[..., hidden_dim : hidden_dim + context_dim])
+    return net, inp
+
+
+def downsample_flow(flow: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """Full-res flow -> 1/factor res with magnitude rescale
+    (reference `CFNet.py:139-144`)."""
+    b, h, w, c = flow.shape
+    lr = jax.image.resize(flow / factor, (b, h // factor, w // factor, c), "bilinear")
+    return lr
+
+
+class GRUFlowStep(nn.Module):
+    """One recurrent flow update at 1/8 res + convex upsampling to full res.
+
+    corr lookup -> BasicUpdateBlock -> coords += delta -> upsample
+    (reference `CFNet.py:146-168` with iters=1 per call).
+    """
+
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, h, inp, pyramid: corr_ops.CorrPyramid, coords_lr, grid_lr):
+        corr_feats = corr_ops.corr_lookup(pyramid, coords_lr, self.corr_radius)
+        flow_lr = coords_lr - grid_lr
+        h, mask, delta = BasicUpdateBlock(name="update_block")(h, inp, corr_feats, flow_lr)
+        coords_lr = coords_lr + delta
+        flow_up = convex_upsample(coords_lr - grid_lr, mask, factor=8)
+        return h, coords_lr, flow_up
