@@ -1,0 +1,100 @@
+"""Benchmark: full RNNPose refinement forward at the reference operating point.
+
+Measures frames/sec/chip of the eval-path forward (cached per-class 3D
+descriptors, 3 render iters x 4 GRU iters x 1 LM step, 320x320 input,
+240x240 zoom crop — `config/linemod/template_fw0.5.yml:2-4,15,76-81`) on the
+available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is fps relative to ~10 fps — the reference PyTorch pipeline's
+order-of-magnitude GPU throughput at the same iteration budget (the repo
+publishes no numbers, BASELINE.md; 10 fps corresponds to the ~100 ms/frame
+class of RAFT-based refiners). North star is >=5x (BASELINE.json).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+REFERENCE_FPS = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rnnpose_tpu.data.synthetic import SyntheticConfig, make_synthetic_inputs
+    from rnnpose_tpu.models.refiner import RefinerConfig
+    from rnnpose_tpu.models.rnnpose import RNNPose, RNNPoseConfig
+
+    syn_cfg = SyntheticConfig(
+        image_size=320,
+        batch_size=1,
+        num_verts=2048,
+        num_faces=4096,
+        subdivisions=4,     # 2562 verts -> capped at 2048
+        num_corr=256,
+        kp_layers=4,
+        kp_dl=0.006,
+    )
+    inputs, kp_cfg = make_synthetic_inputs(syn_cfg, with_corr=False)
+    cfg = RNNPoseConfig(
+        desc_kp=dataclasses.replace(kp_cfg, final_feats_dim=32, first_feats_dim=128, gnn_feats_dim=128),
+        ctx_kp=dataclasses.replace(kp_cfg, final_feats_dim=256, first_feats_dim=128, gnn_feats_dim=128, normalize_output=False),
+        refiner=RefinerConfig(),  # full 3 x 4 x 1 at 240
+    )
+    inputs = jax.tree.map(jnp.asarray, inputs)
+
+    model = RNNPose(cfg)
+    # jit everything incl. init: per-op eager dispatch is pathologically slow
+    # through the sandbox's remote-compile TPU relay.
+    params = jax.jit(lambda k: model.init(k, inputs, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    # Eval path: per-class 3D features precomputed once (reference caches
+    # them per class at eval, `model/RNNPose.py:169-176`).
+    desc3d, ctx3d = jax.jit(
+        lambda p, pyr: model.apply(p, pyr, method=RNNPose.encode_3d)
+    )(params, inputs.pyramid)
+
+    @jax.jit
+    def fwd(params, inputs, desc3d, ctx3d, T_init):
+        inputs = inputs._replace(T_init=T_init)
+        return model.apply(
+            params, inputs, train=False,
+            cached_desc3d=desc3d, cached_ctx3d=ctx3d,
+        )["Ti_pred"]
+
+    # Warmup / compile.
+    T = fwd(params, inputs, desc3d, ctx3d, inputs.T_init)
+    T.block_until_ready()
+
+    # Chain the refined pose into the next frame's init (tracking mode) so
+    # every iteration is a distinct, sequentially-dependent execution — the
+    # measurement cannot be collapsed by any result caching along the way.
+    iters = 20
+    T = inputs.T_init
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        T = fwd(params, inputs, desc3d, ctx3d, T)
+    T.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    fps = inputs.image.shape[0] / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "refine_fps_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,9 +35,13 @@ class CorrPyramid(NamedTuple):
 
 
 def _avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """(..., H, W) -> (..., H//2, W//2) mean pooling."""
+    """(..., H, W) -> (..., H//2, W//2) mean pooling; odd trailing row/col
+    dropped (torch `avg_pool2d(kernel=2, stride=2)` semantics — the 240/8=30
+    -> 15 -> 7 pyramid hits this)."""
     s = x.shape
-    x = x.reshape(*s[:-2], s[-2] // 2, 2, s[-1] // 2, 2)
+    h2, w2 = s[-2] // 2, s[-1] // 2
+    x = x[..., : h2 * 2, : w2 * 2]
+    x = x.reshape(*s[:-2], h2, 2, w2, 2)
     return x.mean(axis=(-3, -1))
 
 

@@ -103,8 +103,12 @@ def circle_loss(
 
     logits_pos = cfg.log_scale * (feats_dist - cfg.pos_margin) * pos_weight
     logits_neg = cfg.log_scale * (cfg.neg_margin - feats_dist) * neg_weight
-    # Padded/unselected entries have zero weight -> contribute exp(0)=1 to the
-    # logsumexp exactly like the reference's zero-weight entries.
+    # Real zero-weight pairs contribute exp(0)=1 to the logsumexp exactly like
+    # the reference's masked entries; PADDED pairs are excluded entirely
+    # (-inf) so the loss is invariant to the static padding size.
+    neg_inf = jnp.asarray(-jnp.inf, logits_pos.dtype)
+    logits_pos = jnp.where(pair_valid > 0, logits_pos, neg_inf)
+    logits_neg = jnp.where(pair_valid > 0, logits_neg, neg_inf)
     lse_pos_row = jax.nn.logsumexp(logits_pos, axis=-1)
     lse_pos_col = jax.nn.logsumexp(logits_pos, axis=-2)
     lse_neg_row = jax.nn.logsumexp(logits_neg, axis=-1)
