@@ -1,0 +1,185 @@
+"""Evaluation CLI.
+
+Re-design of the reference `tools/eval.py:162-568`: loads a checkpoint,
+iterates the eval dataset with PoseCNN/PVNet initial poses, runs the
+refinement forward with cached per-class 3D descriptors, and reports
+per-class ADD(-S)/Proj2D/5cm5deg via the PoseEvaluator.
+
+Usage:
+  python -m rnnpose_tpu.tools.eval --config_path cfg.yml \
+      --ckpt_path runs/x/rnnpose-200000 [--synthetic]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="rnnpose_tpu evaluator")
+    p.add_argument("--config_path", type=str, default=None)
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--syn_image_size", type=int, default=160)
+    p.add_argument("--syn_zoom", type=int, default=120)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--dump_poses", type=str, default=None,
+                   help="npz path for predicted poses (reference dumps .npy)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config.defaults import build_model_config, default_config
+    from ..eval.evaluator import PoseEvaluator
+    from ..models.rnnpose import RNNPose
+    from ..parallel.collectives import weighted_reduce_metrics
+    from ..train import checkpoint as ckpt_lib
+    from ..utils.config_io import merge_cfg
+    from ..utils.progress import ProgressBar
+
+    cfg = merge_cfg(
+        [args.config_path] if args.config_path else [], defaults=default_config()
+    )
+    model_cfg = build_model_config(cfg)
+
+    if args.synthetic:
+        from ..data.synthetic import SyntheticConfig, make_synthetic_inputs
+
+        small = args.syn_image_size <= 64
+        syn = SyntheticConfig(
+            image_size=args.syn_image_size,
+            num_verts=128 if small else 512,
+            num_faces=256 if small else 1024,
+            subdivisions=2 if small else 3,
+            kp_layers=2 if small else 3,
+            kp_dl=0.02 if small else 0.012,
+            fx=100.0 if small else 572.4114,
+            fy=100.0 if small else 573.57043,
+        )
+        inputs, kp_cfg = make_synthetic_inputs(syn, with_corr=False)
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            desc_kp=dataclasses.replace(kp_cfg, final_feats_dim=32),
+            ctx_kp=dataclasses.replace(
+                kp_cfg, final_feats_dim=256, normalize_output=False
+            ),
+            refiner=dataclasses.replace(
+                model_cfg.refiner,
+                zoom_crop_size=args.syn_zoom,
+                raster_chunk=64 if small else 128,
+                render_iters=2 if small else model_cfg.refiner.render_iters,
+                gru_iters=2 if small else model_cfg.refiner.gru_iters,
+                corr_levels=2 if small else model_cfg.refiner.corr_levels,
+            ),
+        )
+        frames = [(jax.tree.map(jnp.asarray, inputs), "synthetic", 0.12,
+                   np.asarray(inputs.model_points[0]),
+                   np.asarray(inputs.point_valid[0]))]
+    else:
+        from ..data.linemod import LinemodSynRealDataset, collate_samples
+        from ..data.linemod_config import diameter_m
+
+        dcfg = cfg["eval_input_reader"]["dataset"]["kwargs"]
+        dataset = LinemodSynRealDataset(
+            info_paths=dcfg["info_paths"],
+            root_paths=dcfg["root_paths"],
+            model_dir=dcfg["model_dir"],
+            kp_cfg=model_cfg.desc_kp,
+            is_train=False,
+            class_names=dcfg.get("class_names") or None,
+            init_pose_type=dcfg.get("init_pose_type", "POSECNN_LINEMOD"),
+            init_pose_paths=dcfg.get("init_pose_paths"),
+            blender_to_bop_path=dcfg.get("blender_to_bop_path"),
+        )
+
+        def frame_gen():
+            n = len(dataset)
+            if args.max_frames:
+                n = min(n, args.max_frames)
+            for i in range(jax.process_index(), n, jax.process_count()):
+                s = dataset[i]
+                cls = s["class_name"]
+                assets = dataset.class_assets(cls)
+                yield (
+                    jax.tree.map(jnp.asarray, collate_samples([s])),
+                    cls,
+                    diameter_m(cls),
+                    assets.model_points,
+                    assets.point_valid,
+                )
+
+        frames = frame_gen()
+
+    model = RNNPose(model_cfg)
+
+    params = None
+    fwd = None
+    cache = {}
+    evaluators = {}
+    poses_out = []
+    t_total, n_frames = 0.0, 0
+    bar = ProgressBar()
+    for inputs, cls, diameter, model_points, point_valid in frames:
+        if params is None:
+            params = jax.jit(lambda k: model.init(k, inputs, train=False))(
+                jax.random.PRNGKey(0)
+            )
+            if args.ckpt_path:
+                restored = ckpt_lib.restore_checkpoint(
+                    args.ckpt_path, {"params": params}
+                )
+                params = restored["params"]
+            fwd = jax.jit(
+                lambda p, x, d3, c3: model.apply(
+                    p, x, train=False, cached_desc3d=d3, cached_ctx3d=c3
+                )["Ti_pred"]
+            )
+            enc3d = jax.jit(
+                lambda p, pyr: model.apply(p, pyr, method=RNNPose.encode_3d)
+            )
+        if cls not in cache:
+            cache[cls] = enc3d(params, inputs.pyramid)
+            evaluators[cls] = PoseEvaluator(
+                cls, diameter,
+                model_points[point_valid > 0]
+                if point_valid is not None else model_points,
+            )
+        desc3d, ctx3d = cache[cls]
+        t0 = time.perf_counter()
+        T_pred = fwd(params, inputs, desc3d, ctx3d)
+        T_pred.block_until_ready()
+        t_total += time.perf_counter() - t0
+        n_frames += 1
+        evaluators[cls].evaluate(
+            np.asarray(T_pred), np.asarray(inputs.T_gt),
+            np.asarray(inputs.intrinsics),
+        )
+        if args.dump_poses:
+            poses_out.append(np.asarray(T_pred))
+        bar.update(n_frames)
+
+    results = {}
+    for cls, ev in evaluators.items():
+        results[cls] = ev.summarize()
+        print(f"\n=== {cls} ===")
+        for k, v in results[cls].items():
+            print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
+    overall = weighted_reduce_metrics(list(results.values()))
+    overall["fps"] = n_frames / max(t_total, 1e-9)
+    print("\n=== overall (seq_len weighted) ===")
+    print(json.dumps({k: round(float(v), 5) for k, v in overall.items()}))
+    if args.dump_poses and poses_out:
+        np.savez(args.dump_poses, poses=np.concatenate(poses_out))
+    return overall
+
+
+if __name__ == "__main__":
+    main()

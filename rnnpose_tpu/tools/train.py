@@ -1,0 +1,226 @@
+"""Training CLI.
+
+Re-design of the reference `tools/train.py` (fire CLI + mp.spawn + DDP,
+lines 176-660): single-controller JAX needs no process spawning — ONE
+process drives all local chips via the mesh; multi-host runs launch this
+same script once per host (`jax.distributed.initialize` handles rendezvous,
+replacing the NCCL TCP store at `tools/train.py:336-342`).
+
+Usage:
+  python -m rnnpose_tpu.tools.train --config_path cfg.yml --model_dir runs/x \
+      [--resume] [--pretrained_path ckpt] [--freeze "hybrid/desc2d"] \
+      [--synthetic]  # synthetic data smoke-train without real assets
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="rnnpose_tpu trainer")
+    p.add_argument("--config_path", type=str, default=None)
+    p.add_argument("--model_dir", type=str, required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--freeze", type=str, default="",
+                   help="comma-separated regexes of params to freeze")
+    p.add_argument("--steps", type=int, default=None, help="override total steps")
+    p.add_argument("--display_step", type=int, default=50)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic fixture dataset")
+    p.add_argument("--syn_image_size", type=int, default=160)
+    p.add_argument("--syn_zoom", type=int, default=120)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    from ..config.defaults import (
+        build_model_config,
+        build_optimizer_config,
+        default_config,
+    )
+    from ..models.rnnpose import RNNPose
+    from ..parallel import mesh as mesh_lib
+    from ..train import checkpoint as ckpt_lib
+    from ..train.logging import ModelLog
+    from ..train.loop import make_train_step
+    from ..train.optim import build_optimizer
+    from ..utils.config_io import merge_cfg, save_cfg
+
+    # ---- config (reference `tools/train.py:360-370`) ----
+    if args.config_path:
+        cfg = merge_cfg([args.config_path], defaults=default_config())
+    else:
+        cfg = merge_cfg([], defaults=default_config())
+    if args.steps:
+        cfg["train_config"]["steps"] = args.steps
+    if not args.resume and os.path.exists(
+        os.path.join(args.model_dir, "checkpoints.json")
+    ):
+        raise RuntimeError(
+            f"model_dir {args.model_dir} already contains checkpoints; pass "
+            "--resume (reference guards the same way, tools/train.py:350-352)"
+        )
+    os.makedirs(args.model_dir, exist_ok=True)
+    save_cfg(cfg, os.path.join(args.model_dir, "config_resolved.yml"),
+             source=args.config_path or "<defaults>")
+    log = ModelLog(args.model_dir)
+
+    opt_cfg = build_optimizer_config(cfg)
+    if args.freeze:
+        opt_cfg = dataclasses.replace(
+            opt_cfg, freeze_patterns=tuple(args.freeze.split(","))
+        )
+
+    # ---- data ----
+    if args.synthetic:
+        from ..data.synthetic import SyntheticConfig, make_synthetic_inputs
+
+        small = args.syn_image_size <= 64
+        inputs, kp_cfg = make_synthetic_inputs(
+            SyntheticConfig(
+                image_size=args.syn_image_size,
+                num_verts=128 if small else 512,
+                num_faces=256 if small else 1024,
+                subdivisions=2 if small else 3,
+                num_corr=64 if small else 256,
+                kp_layers=2 if small else 3,
+                kp_dl=0.02 if small else 0.012,
+                fx=100.0 if small else 572.4114,
+                fy=100.0 if small else 573.57043,
+            )
+        )
+        model_cfg = build_model_config(cfg)
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            desc_kp=dataclasses.replace(kp_cfg, final_feats_dim=32),
+            ctx_kp=dataclasses.replace(
+                kp_cfg, final_feats_dim=256, normalize_output=False
+            ),
+            refiner=dataclasses.replace(
+                model_cfg.refiner,
+                zoom_crop_size=args.syn_zoom,
+                raster_chunk=64 if small else 128,
+                render_iters=2 if small else model_cfg.refiner.render_iters,
+                gru_iters=2 if small else model_cfg.refiner.gru_iters,
+                corr_levels=2 if small else model_cfg.refiner.corr_levels,
+            ),
+        )
+
+        def batches():
+            b = jax.tree.map(jnp.asarray, inputs)
+            while True:
+                yield b
+
+    else:
+        from ..data.linemod import LinemodSynRealDataset, collate_samples
+        from ..data.preprocess import TooFewCorrespondences
+        from ..data.samplers import GivenIterationSampler
+
+        model_cfg = build_model_config(cfg)
+        dcfg = cfg["train_input_reader"]["dataset"]["kwargs"]
+        dataset = LinemodSynRealDataset(
+            info_paths=dcfg["info_paths"],
+            root_paths=dcfg["root_paths"],
+            model_dir=dcfg["model_dir"],
+            kp_cfg=model_cfg.desc_kp,
+            is_train=True,
+            class_names=dcfg.get("class_names") or None,
+            voc_root=dcfg.get("voc_root") or None,
+        )
+        sampler = GivenIterationSampler(
+            len(dataset),
+            total_iter=cfg["train_config"]["steps"],
+            batch_size=cfg["train_input_reader"]["batch_size"],
+            shard_id=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+
+        def batches():
+            it = iter(sampler)
+            bs = cfg["train_input_reader"]["batch_size"]
+            while True:
+                samples = []
+                while len(samples) < bs:
+                    try:
+                        samples.append(dataset[next(it)])
+                    except TooFewCorrespondences:
+                        continue  # skip degenerate frame (reference 421-437)
+                    except StopIteration:
+                        return
+                yield jax.tree.map(jnp.asarray, collate_samples(samples))
+
+    # ---- build model/optimizer/step (reference 388-456) ----
+    model = RNNPose(model_cfg)
+    mesh = mesh_lib.make_mesh()
+    batch_iter = iter(batches())
+    first = next(batch_iter)
+    params = jax.jit(lambda k: model.init(k, first, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    if args.pretrained_path:
+        from ..models.convert import load_pretrained
+
+        params = load_pretrained(params, args.pretrained_path)
+    tx = build_optimizer(opt_cfg, params)
+    opt_state = tx.init(params)
+    step = 0
+
+    restored = ckpt_lib.try_restore_latest(
+        args.model_dir, {"params": params, "opt_state": opt_state}
+    )
+    if restored is not None:
+        params = restored["params"]
+        opt_state = restored["opt_state"]
+        step = int(restored["step"])
+        log.log_text(f"restored checkpoint at step {step}", step)
+
+    params = mesh_lib.replicate_params(params, mesh)
+    opt_state = mesh_lib.replicate_params(opt_state, mesh)
+    train_step = make_train_step(model, tx)
+
+    # ---- loop (reference 531-653) ----
+    total = cfg["train_config"]["steps"]
+    steps_per_eval = cfg["train_config"]["steps_per_eval"]
+    bs = first.image.shape[0]
+    t_last = time.time()
+    while step < total:
+        try:
+            batch = next(batch_iter) if step > 0 else first
+        except StopIteration:
+            break
+        batch = mesh_lib.shard_batch(batch, mesh, batch_size=bs)
+        params, opt_state, metrics = train_step(params, opt_state, batch)
+        step += 1
+        if step % args.display_step == 0 or step == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = args.display_step / max(time.time() - t_last, 1e-9)
+            t_last = time.time()
+            log.log_metrics(m, step)
+        if step % steps_per_eval == 0 or step == total:
+            ckpt_lib.save_checkpoint(
+                args.model_dir,
+                {"params": jax.device_get(params),
+                 "opt_state": jax.device_get(opt_state)},
+                step,
+            )
+            log.log_text(f"checkpoint saved at step {step}", step)
+    log.log_text("training done", step)
+    log.close()
+
+
+if __name__ == "__main__":
+    main()
