@@ -72,14 +72,24 @@ def main():
     T = fwd(params, inputs, desc3d, ctx3d, inputs.T_init)
     T.block_until_ready()
 
-    # Chain the refined pose into the next frame's init (tracking mode) so
-    # every iteration is a distinct, sequentially-dependent execution — the
-    # measurement cannot be collapsed by any result caching along the way.
+    # Chain the refined pose into the next frame's init (tracking mode) with
+    # a distinct small perturbation per frame, so every iteration is a
+    # different, sequentially-dependent execution. (Plain chaining converges
+    # to a fixpoint after a few frames, and identical executions can be
+    # deduplicated by the sandbox's TPU relay, inflating fps by orders of
+    # magnitude.)
     iters = 20
+    import numpy as _np
+
+    rs = _np.random.RandomState(0)
+    jitters = [
+        jnp.asarray(rs.randn(*inputs.T_init.shape).astype(_np.float32) * 1e-3)
+        for _ in range(iters)
+    ]
     T = inputs.T_init
     t0 = time.perf_counter()
-    for _ in range(iters):
-        T = fwd(params, inputs, desc3d, ctx3d, T)
+    for i in range(iters):
+        T = fwd(params, inputs, desc3d, ctx3d, T + jitters[i])
     T.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     fps = inputs.image.shape[0] / dt

@@ -192,6 +192,8 @@ class LinemodSynRealDataset(Dataset):
         pad_norm[:n_real_v] = pts_norm
         valid = (np.arange(self.max_verts) < n_real_v).astype(np.float32)
 
+        from ..render.shading import compute_vertex_normals
+
         assets = ClassAssets(
             mesh=MeshAssets(
                 verts=m.verts,
@@ -199,6 +201,7 @@ class LinemodSynRealDataset(Dataset):
                 colors=m.vert_colors,
                 vert_valid=valid,
                 face_valid=(np.arange(self.max_faces) < n_real_f),
+                normals=compute_vertex_normals(m.verts, m.faces[:n_real_f]),
             ),
             model_points=pad_pts,
             model_points_norm=pad_norm,

@@ -172,12 +172,15 @@ def make_synthetic_inputs(
             model_idx=model_idx, is_bg=is_bg, valid=valid,
         )
 
+    from ..render.shading import compute_vertex_normals
+
     mesh_assets = MeshAssets(
         verts=mesh.verts,
         faces=mesh.faces,
         colors=mesh.vert_colors,
         vert_valid=(np.arange(cfg.num_verts) < mesh.num_verts).astype(np.float32),
         face_valid=(np.arange(cfg.num_faces) < mesh.num_faces),
+        normals=compute_vertex_normals(mesh.verts, mesh.faces[: mesh.num_faces]),
     )
     model_points = np.tile(mesh.verts[None], (B, 1, 1))
     point_valid = np.tile(

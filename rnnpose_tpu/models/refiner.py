@@ -42,6 +42,7 @@ from ..geometry import se3 as se3_lib
 from ..ops import corr as corr_ops
 from ..ops.sampler import bilinear_sample
 from ..render.raster import rasterize, interpolate_attributes
+from ..render.shading import headlight_shade
 from ..render.splat import splat_depth
 from .cfnet import GRUFlowStep, ImageFeaEncoder, downsample_flow, split_context
 
@@ -82,6 +83,7 @@ class MeshAssets(NamedTuple):
     colors: jnp.ndarray      # (V, 3) in [0, 1]
     vert_valid: jnp.ndarray  # (V,) 1.0 for real vertices
     face_valid: jnp.ndarray  # (F,) bool
+    normals: Optional[jnp.ndarray] = None  # (V, 3) object-frame normals
 
 
 class RefinerOutputs(NamedTuple):
@@ -212,24 +214,48 @@ class PoseRefiner(nn.Module):
             Tij = jnp.broadcast_to(jnp.eye(4, dtype=Ti.dtype), Ti.shape)
             Ti_render = jax.lax.stop_gradient(Ti)
 
-            # FG mask via vertex splat at full intrinsics (reference 253-254).
+            # Crop box from the projected-vertex bbox. The reference splats
+            # vertices into a depth map and takes the mask bbox (253-263);
+            # the bbox of the projected valid vertices is the same box
+            # without the scatter (the mask IS splatted vertices) — saves a
+            # TPU-hostile scatter per render iteration.
             verts_cam = proj.transform_points(Ti_render, mesh.verts[None])
-            pc_depth = splat_depth(
-                verts_cam, intrinsics, h_img, w_img,
-                valid=jnp.broadcast_to(mesh.vert_valid[None], verts_cam.shape[:2]),
+            uv_full, _ = proj.project(verts_cam, intrinsics[:, None, :])
+            vvalid = (
+                (mesh.vert_valid[None] > 0)
+                & (verts_cam[..., 2] > proj.MIN_DEPTH)
             )
+            big = 1e9
+            x0 = jnp.min(jnp.where(vvalid, uv_full[..., 0], big), axis=1)
+            y0 = jnp.min(jnp.where(vvalid, uv_full[..., 1], big), axis=1)
+            x1 = jnp.max(jnp.where(vvalid, uv_full[..., 0], -big), axis=1)
+            y1 = jnp.max(jnp.where(vvalid, uv_full[..., 1], -big), axis=1)
+            none_valid = ~jnp.any(vvalid, axis=1)
+            x0 = jnp.where(none_valid, 0.0, jnp.clip(x0, 0, w_img - 1))
+            y0 = jnp.where(none_valid, 0.0, jnp.clip(y0, 0, h_img - 1))
+            x1 = jnp.where(none_valid, float(w_img - 1), jnp.clip(x1, 0, w_img - 1))
+            y1 = jnp.where(none_valid, float(h_img - 1), jnp.clip(y1, 0, h_img - 1))
+            bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
 
             # In-graph zoom-crop parameters + crop intrinsics (reference 263).
-            crop_params = crop_lib.mask_zoom_crop_params(
-                (pc_depth > 0).astype(image.dtype), cfg.margin_ratio
-            )
+            crop_params = crop_lib.square_crop_params(bbox, cfg.margin_ratio)
             K_crop = jax.lax.stop_gradient(
                 crop_lib.crop_intrinsics(intrinsics, crop_params, S)
             )
 
             # One rasterization: RGB + ctx features + 3D descriptors as vertex
             # attributes; z-buffer doubles as syn_depth (reference 269-304).
-            attrs = [jnp.broadcast_to(mesh.colors[None], (B,) + mesh.colors.shape), ctx_fea_3d]
+            attrs = [jnp.broadcast_to(mesh.colors[None], (B,) + mesh.colors.shape)]
+            n_shade = 0
+            if mesh.normals is not None:
+                # Normals rotated to camera frame per batch item; rotation is
+                # linear so per-vertex rotation + barycentric interpolation
+                # equals interpolating then rotating (Phong-style shading,
+                # reference `diff_render_optim.py:201-244`).
+                R = jax.lax.stop_gradient(Ti_render[:, :3, :3])
+                attrs.append(jnp.einsum("bij,vj->bvi", R, mesh.normals))
+                n_shade = 3
+            attrs.append(ctx_fea_3d)
             if use_geo:
                 attrs.append(geofea_3d)
             vert_attrs = jnp.concatenate(attrs, axis=-1)
@@ -239,9 +265,12 @@ class PoseRefiner(nn.Module):
             )
             attr_maps = interpolate_attributes(frags, mesh.faces, vert_attrs)
             syn_img = attr_maps[..., :3]
+            if n_shade:
+                syn_img = headlight_shade(syn_img, attr_maps[..., 3 : 3 + n_shade])
             c_ctx = ctx_fea_3d.shape[-1]
-            cfea_crop = attr_maps[..., 3 : 3 + c_ctx] * cfg.feature_scale
-            geofea1 = attr_maps[..., 3 + c_ctx :] if use_geo else None
+            base = 3 + n_shade
+            cfea_crop = attr_maps[..., base : base + c_ctx] * cfg.feature_scale
+            geofea1 = attr_maps[..., base + c_ctx :] if use_geo else None
             syn_depth = frags.zbuf  # detached by rasterize
 
             # Observed crop + warped 2D descriptor crop (reference 287-291).

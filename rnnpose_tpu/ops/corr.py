@@ -69,38 +69,70 @@ def build_corr_pyramid(
     return CorrPyramid(levels=tuple(levels), h=H, w=W)
 
 
+def _axis_interp_matrix(center: jnp.ndarray, size: int, radius: int) -> jnp.ndarray:
+    """Per-query bilinear interpolation band matrix along one axis.
+
+    For window offsets d in [-r, r], A[q, d, j] is the bilinear weight of
+    integer coordinate j for the fractional sample position center_q + d
+    (zero outside [0, size-1] — zero-padding semantics).
+
+    Args:
+      center: (Q,) fractional centers.
+      size: axis length of the sampled level.
+      radius: window radius r.
+    Returns:
+      (Q, 2r+1, size) weights. At most two nonzeros per row -> the windowed
+    bilinear gather becomes a (2r+1, size) x (size, ...) matmul on the MXU.
+    """
+    win = 2 * radius + 1
+    d = jnp.arange(-radius, radius + 1, dtype=center.dtype)
+    pos = center[:, None] + d[None, :]                        # (Q, win)
+    j = jnp.arange(size, dtype=center.dtype)                  # (size,)
+    # hat function: weight = max(0, 1 - |pos - j|)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - j[None, None, :]))
+    return w  # (Q, win, size)
+
+
 def corr_lookup(
     pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
 ) -> jnp.ndarray:
     """Sample a (2r+1)^2 window around `coords/2^i` at every pyramid level.
+
+    TPU-native formulation: the windowed bilinear lookup is separable, so for
+    each level it is evaluated as two batched band-matrix multiplications
+      out[q] = Ay[q] @ corr_level[q] @ Ax[q]^T
+    with Ay/Ax the per-query axis interpolation matrices — pure MXU work,
+    replacing the pathological per-tap gathers XLA would emit for a direct
+    `grid_sample` port of the reference (`thirdparty/raft/corr.py:36-57`).
 
     Args:
       pyramid: from `build_corr_pyramid`.
       coords: (B, H, W, 2) current correspondence estimate in pixels at 1/8 res.
       radius: lookup radius r (reference corr_radius=4 -> 81 taps/level).
     Returns:
-      (B, H, W, num_levels * (2r+1)^2) correlation features, level-major then
-      row-major window order — matching the reference concat order
-      (`corr.py:36-57`) for checkpoint compatibility.
+      (B, H, W, num_levels * (2r+1)^2) correlation features, level-major with
+      row-major (dy, dx) window order — matching the reference concat order
+      for checkpoint compatibility.
     """
     B, H, W, _ = coords.shape
     N = H * W
-    r = radius
-    win = 2 * r + 1
-    dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    delta = jnp.stack(
-        jnp.meshgrid(dx, dx, indexing="ij")[::-1], axis=-1
-    )  # (win, win, 2) with (x, y) channel order, rows = dy
-    delta = delta.reshape(-1, 2)  # (win*win, 2)
+    win = 2 * radius + 1
+
+    cx = coords[..., 0].reshape(B * N)
+    cy = coords[..., 1].reshape(B * N)
 
     outs: List[jnp.ndarray] = []
-    centroid = coords.reshape(B, N, 1, 2)
     for i, corr in enumerate(pyramid.levels):
         Hl, Wl = corr.shape[-2], corr.shape[-1]
-        # (B*N, Hl, Wl, 1) images, (B*N, win*win, 2) coords
-        img = corr.reshape(B * N, Hl, Wl, 1)
-        c = centroid / (2.0 ** i) + delta[None, None]  # (B, N, win*win, 2)
-        c = c.reshape(B * N, win * win, 2)
-        sampled = bilinear_sample(img, c)  # (B*N, win*win, 1)
-        outs.append(sampled.reshape(B, H, W, win * win))
+        scale = 1.0 / (2.0 ** i)
+        Ay = _axis_interp_matrix(cy * scale, Hl, radius)      # (BN, win, Hl)
+        Ax = _axis_interp_matrix(cx * scale, Wl, radius)      # (BN, win, Wl)
+        vol = corr.reshape(B * N, Hl, Wl)
+        rows = jnp.einsum(
+            "qdy,qyx->qdx", Ay, vol, preferred_element_type=jnp.float32
+        )                                                     # (BN, win, Wl)
+        out = jnp.einsum(
+            "qdx,qex->qde", rows, Ax, preferred_element_type=jnp.float32
+        )                                                     # (BN, win, win)
+        outs.append(out.reshape(B, H, W, win * win))
     return jnp.concatenate(outs, axis=-1)

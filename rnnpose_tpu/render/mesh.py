@@ -195,13 +195,16 @@ def decimate_mesh(mesh: TriMesh, max_faces: int, seed: int = 0) -> TriMesh:
 
 def pad_mesh(mesh: TriMesh, num_verts: int, num_faces: int) -> TriMesh:
     """Pad to static sizes. Padded faces are degenerate (all-zero index) and
-    point at vertex 0; padded verts sit at the origin."""
+    point at vertex 0; padded verts sit at the origin. If the vertex budget
+    truncates the mesh, faces referencing dropped vertices are removed."""
     v = np.zeros((num_verts, 3), np.float32)
     c = np.zeros((num_verts, 3), np.float32)
     f = np.zeros((num_faces, 3), np.int32)
     nv = min(mesh.num_verts, num_verts)
-    nf = min(mesh.num_faces, num_faces)
     v[:nv] = mesh.verts[:nv]
     c[:nv] = mesh.vert_colors[:nv]
-    f[:nf] = mesh.faces[:nf]
+    faces_ok = mesh.faces[: mesh.num_faces]
+    faces_ok = faces_ok[(faces_ok < nv).all(axis=1)]
+    nf = min(len(faces_ok), num_faces)
+    f[:nf] = faces_ok[:nf]
     return TriMesh(v, f, c, nv, nf)

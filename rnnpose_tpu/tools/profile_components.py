@@ -1,0 +1,145 @@
+"""Component-level TPU timing: where does a refinement step spend its time?
+
+Usage: python -m rnnpose_tpu.tools.profile_components [--trace DIR]
+Times (after compile): rasterizer, splat, image encoder, corr build, one GRU
+step, one LM step, full eval forward, full train step.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+
+def timeit(fn, *args, iters=10, name="", vary=None):
+    """Time a jitted fn. `vary`: index of a float-array arg to perturb per
+    iteration — identical repeated executions can be deduplicated by the
+    sandbox's TPU relay, which silently corrupts measurements."""
+    import jax
+    import jax.numpy as jnp
+
+    args = list(args)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        if vary is not None:
+            args[vary] = jax.tree.map(
+                lambda x: x + jnp.asarray(i * 1e-7, x.dtype)
+                if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.bfloat16)
+                else x,
+                args[vary],
+            )
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters * 1000
+    print(f"{name:34s} {dt:8.3f} ms")
+    return dt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--trace", type=str, default=None)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.synthetic import SyntheticConfig, make_synthetic_inputs
+    from ..geometry import lm as lm_lib
+    from ..models.cfnet import ImageFeaEncoder
+    from ..models.refiner import RefinerConfig
+    from ..models.rnnpose import RNNPose, RNNPoseConfig
+    from ..ops import corr as corr_ops
+    from ..render.raster import rasterize
+    from ..render.splat import splat_depth
+    from ..train.loop import make_train_step
+    from ..train.optim import OptimizerConfig, build_optimizer
+
+    syn = SyntheticConfig(
+        image_size=320, num_verts=2048, num_faces=4096, subdivisions=4,
+        kp_layers=4, kp_dl=0.006,
+    )
+    inputs, kp_cfg = make_synthetic_inputs(syn)
+    cfg = RNNPoseConfig(
+        desc_kp=dataclasses.replace(kp_cfg, final_feats_dim=32, first_feats_dim=128, gnn_feats_dim=128),
+        ctx_kp=dataclasses.replace(kp_cfg, final_feats_dim=256, first_feats_dim=128, gnn_feats_dim=128, normalize_output=False),
+        refiner=RefinerConfig(),
+    )
+    inputs = jax.tree.map(jnp.asarray, inputs)
+    model = RNNPose(cfg)
+    params = jax.jit(lambda k: model.init(k, inputs, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    S = cfg.refiner.zoom_crop_size
+    mesh = inputs.mesh
+    K_crop = inputs.intrinsics
+
+    # --- components ---
+    verts_cam = jnp.asarray(inputs.mesh.verts)[None] + jnp.asarray([[0.0, 0.0, 0.6]])
+    raster = jax.jit(
+        lambda v: rasterize(v, mesh.faces, K_crop, S, S, mesh.face_valid, 128).zbuf
+    )
+    timeit(raster, verts_cam, iters=args.iters, vary=0,
+           name=f"rasterize {syn.num_faces}f @ {S}^2")
+
+    splat = jax.jit(lambda v: splat_depth(v, inputs.intrinsics, 320, 320))
+    timeit(splat, verts_cam, iters=args.iters, name="splat_depth 2048v @ 320^2")
+
+    enc = ImageFeaEncoder()
+    img = jnp.zeros((1, S, S, 3))
+    pe = enc.init(jax.random.PRNGKey(0), img, img)
+    encf = jax.jit(lambda p, a, b: enc.apply(p, a, b))
+    timeit(encf, pe, img, img, iters=args.iters, name=f"image encoder x2 @ {S}^2")
+
+    f8 = S // 8
+    fmap = jnp.zeros((1, f8, f8, 256))
+    corr_build = jax.jit(lambda a, b: corr_ops.build_corr_pyramid(a, b).levels[0])
+    timeit(corr_build, fmap, fmap, iters=args.iters, name=f"corr pyramid build @ {f8}^2")
+
+    pyr = corr_ops.build_corr_pyramid(fmap, fmap)
+    coords = jnp.zeros((1, f8, f8, 2))
+    lookup = jax.jit(lambda c: corr_ops.corr_lookup(pyr, c, 4))
+    timeit(lookup, coords, iters=args.iters, name="corr lookup r=4")
+
+    depth = jnp.ones((1, S, S)) * 0.6
+    target = jnp.zeros((1, S, S, 2))
+    weight = jnp.ones((1, S, S, 2))
+    lmf = jax.jit(
+        lambda T: lm_lib.reprojection_optim(T, target, weight, depth, K_crop, 1)
+    )
+    timeit(lmf, jnp.eye(4)[None], iters=args.iters, name=f"LM step @ {S}^2")
+
+    # --- full paths ---
+    desc3d, ctx3d = jax.jit(
+        lambda p, pyr_: model.apply(p, pyr_, method=RNNPose.encode_3d)
+    )(params, inputs.pyramid)
+    fwd = jax.jit(
+        lambda p, x, d, c: model.apply(
+            p, x, train=False, cached_desc3d=d, cached_ctx3d=c
+        )["Ti_pred"]
+    )
+    timeit(fwd, params, inputs, desc3d, ctx3d, iters=args.iters, vary=2,
+           name="FULL eval forward (cached 3D)")
+
+    enc3 = jax.jit(lambda p, pyr_: model.apply(p, pyr_, method=RNNPose.encode_3d))
+    timeit(enc3, params, inputs.pyramid, iters=args.iters, name="encode_3d (KPConv x2)")
+
+    tx = build_optimizer(OptimizerConfig(total_steps=1000), params)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, donate=False)
+    timeit(step, params, opt_state, inputs, iters=max(args.iters // 2, 2),
+           vary=0, name="FULL train step (fwd+bwd+opt)")
+
+    if args.trace:
+        from ..utils.profiling import trace
+
+        with trace(args.trace):
+            jax.block_until_ready(fwd(params, inputs, desc3d, ctx3d))
+        print(f"trace written to {args.trace}")
+
+
+if __name__ == "__main__":
+    main()

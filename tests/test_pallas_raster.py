@@ -1,0 +1,44 @@
+"""Pallas z-buffer sweep vs the pure-JAX scan rasterizer (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnnpose_tpu.render.raster import rasterize
+from rnnpose_tpu.ops.pallas_raster import zbuffer_sweep
+from rnnpose_tpu.data.synthetic import make_icosphere
+from rnnpose_tpu.render import mesh as mesh_lib
+
+
+def _setup():
+    m = make_icosphere(2, 0.06)
+    m = mesh_lib.pad_mesh(m, 256, 1024)
+    verts = jnp.asarray(m.verts)[None] + jnp.asarray([[0.0, 0.0, 0.5]])
+    faces = jnp.asarray(m.faces)
+    K = jnp.asarray([[120.0, 120.0, 32.0, 32.0]])
+    fv = jnp.asarray(np.arange(1024) < m.num_faces)
+    return verts, faces, K, fv
+
+
+def test_pallas_sweep_matches_scan(monkeypatch):
+    verts, faces, K, fv = _setup()
+    h = w = 64
+    ref = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas=False)
+
+    # Force the pallas path through interpret mode by monkeypatching the
+    # sweep to interpret=True.
+    import rnnpose_tpu.render.raster as R
+    import rnnpose_tpu.ops.pallas_raster as PR
+
+    orig = PR.zbuffer_sweep
+
+    def interp_sweep(face_data, h, w, chunk=128, rows=16, min_depth=0.01):
+        return orig(face_data, h, w, chunk=chunk, rows=rows,
+                    min_depth=min_depth, interpret=True)
+
+    monkeypatch.setattr(PR, "zbuffer_sweep", interp_sweep)
+    out = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas=True)
+
+    np.testing.assert_array_equal(ref.face_id, out.face_id)
+    np.testing.assert_allclose(ref.zbuf, out.zbuf, atol=1e-5)
+    np.testing.assert_allclose(ref.bary, out.bary, atol=1e-5)
