@@ -155,12 +155,14 @@ def load_pretrained(
     path: str,
     include: Optional[str] = None,
     exclude: Optional[str] = None,
+    rename_map: Optional[Dict[str, str]] = None,
 ) -> Dict[str, Any]:
     """Load a torch checkpoint file into the full flax param tree.
 
     Heuristically routes keys to the SuperPoint / RAFT-encoder / RAFT-update
-    maps by prefix; regex include/exclude filters mirror the reference's
-    pretrained loader flags (`tools/eval.py:386-413`).
+    maps by prefix; regex include/exclude filters and the literal rename map
+    mirror the reference's pretrained loader
+    (`tools/eval.py:386-413`, `utils/util.py modify_parameter_name_with_map`).
     """
     import torch
 
@@ -172,6 +174,13 @@ def load_pretrained(
         sd = {k: v for k, v in sd.items() if re.search(include, k)}
     if exclude:
         sd = {k: v for k, v in sd.items() if not re.search(exclude, k)}
+    if rename_map:
+        def rename(k):
+            for old, new in rename_map.items():
+                k = k.replace(old, new)
+            return k
+
+        sd = {rename(k): v for k, v in sd.items()}
 
     import copy
 
