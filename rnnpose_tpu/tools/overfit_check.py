@@ -1,0 +1,119 @@
+"""End-to-end learning validation: overfit the synthetic object and verify
+the learned refinement IMPROVES poses over the noisy initialization.
+
+This is the strongest no-assets system test: it exercises descriptors,
+rendering, flow, similarity weighting, LM, all losses, the optimizer and the
+eval metrics together, and demands the result that matters — ADD(refined) <
+ADD(init) on frames never trained on.
+
+Usage: python -m rnnpose_tpu.tools.overfit_check [--steps 300]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--train_frames", type=int, default=16)
+    p.add_argument("--eval_frames", type=int, default=8)
+    p.add_argument("--image_size", type=int, default=160)
+    p.add_argument("--zoom", type=int, default=120)
+    p.add_argument("--lr", type=float, default=2e-4)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ..data.synthetic import SyntheticConfig, make_synthetic_inputs
+    from ..eval import metrics as M
+    from ..models.refiner import RefinerConfig
+    from ..models.rnnpose import RNNPose, RNNPoseConfig
+
+    def make(seed, with_corr=True):
+        syn = SyntheticConfig(
+            image_size=args.image_size, num_verts=512, num_faces=1024,
+            subdivisions=3, kp_layers=3, kp_dl=0.012, seed=seed,
+        )
+        inputs, kp_cfg = make_synthetic_inputs(syn, with_corr=with_corr)
+        return jax.tree.map(jnp.asarray, inputs), kp_cfg
+
+    t0 = time.time()
+    train_set = [make(s)[0] for s in range(args.train_frames)]
+    eval_set = [make(1000 + s)[0] for s in range(args.eval_frames)]
+    _, kp_cfg = make(0)
+    print(f"data built in {time.time() - t0:.0f}s")
+
+    cfg = RNNPoseConfig(
+        desc_kp=dataclasses.replace(kp_cfg, final_feats_dim=32),
+        ctx_kp=dataclasses.replace(
+            kp_cfg, final_feats_dim=256, normalize_output=False
+        ),
+        refiner=RefinerConfig(zoom_crop_size=args.zoom),
+    )
+    model = RNNPose(cfg)
+    params = jax.jit(lambda k: model.init(k, train_set[0], train=False))(
+        jax.random.PRNGKey(0)
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0), optax.adam(args.lr)
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            out = model.apply(p, batch, train=True)
+            return out["loss"], out
+
+        (l, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, l
+
+    @jax.jit
+    def fwd(params, batch):
+        return model.apply(params, batch, train=False)["Ti_pred"]
+
+    def eval_add(params):
+        errs_init, errs_ref = [], []
+        for b in eval_set:
+            T = np.asarray(fwd(params, b))
+            for name, Tp in (("init", np.asarray(b.T_init)), ("ref", T)):
+                e = M.add_error(
+                    jnp.asarray(Tp[:, :3, :3]), jnp.asarray(Tp[:, :3, 3]),
+                    b.T_gt[:, :3, :3], b.T_gt[:, :3, 3],
+                    b.model_points, b.point_valid,
+                )
+                (errs_init if name == "init" else errs_ref).append(
+                    float(np.asarray(e).mean())
+                )
+        return float(np.mean(errs_init)), float(np.mean(errs_ref))
+
+    t0 = time.time()
+    losses = []
+    for i in range(args.steps):
+        batch = train_set[i % len(train_set)]
+        params, opt_state, l = step(params, opt_state, batch)
+        losses.append(float(l))
+        if i % 50 == 0 or i == args.steps - 1:
+            print(
+                f"step {i}: loss {np.mean(losses[-50:]):.4f} "
+                f"({(time.time() - t0):.0f}s)", flush=True,
+            )
+
+    init_add, ref_add = eval_add(params)
+    print(f"\nheld-out ADD: init {init_add * 1000:.2f} mm -> "
+          f"refined {ref_add * 1000:.2f} mm "
+          f"({'IMPROVED' if ref_add < init_add else 'WORSE'})")
+    print(f"loss: first50 {np.mean(losses[:50]):.4f} -> "
+          f"last50 {np.mean(losses[-50:]):.4f}")
+    return init_add, ref_add
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+"""Training: losses, optimizers, checkpointing, logging, the SPMD loop."""

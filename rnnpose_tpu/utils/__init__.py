@@ -1,0 +1,1 @@
+"""Utilities: config IO, progress, profiling, visualization."""
