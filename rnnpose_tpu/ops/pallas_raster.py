@@ -31,44 +31,49 @@ _FAR = 1e9
 
 
 def _kernel(face_ref, z_ref, fid_ref, *, rows: int, width: int, chunk: int,
-            min_depth: float):
-    j = pl.program_id(1)
+            num_chunks: int, min_depth: float):
     i = pl.program_id(0)
 
-    fd = face_ref[:]                                  # (chunk, 16)
     # Pixel coordinates of this tile (centers at +0.5).
     n = rows * width
     lin = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     x = (lin % width).astype(jnp.float32) + 0.5       # (n, 1)
     y = (lin // width + i * rows).astype(jnp.float32) + 0.5
 
-    def edge(k):
-        a = fd[:, 3 * k][None, :]                     # (1, chunk)
-        b = fd[:, 3 * k + 1][None, :]
-        c = fd[:, 3 * k + 2][None, :]
-        return x * a + y * b + c                      # (n, chunk)
+    def body(j, carry):
+        best_z, best_f = carry
+        fd = face_ref[pl.ds(j * chunk, chunk), :]     # (chunk, 16)
 
-    e0, e1, e2 = edge(0), edge(1), edge(2)
-    depth = x * fd[:, 9][None, :] + y * fd[:, 10][None, :] + fd[:, 11][None, :]
-    ok = (
-        (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-        & (depth > min_depth) & (fd[:, 12][None, :] > 0.0)
+        def edge(k):
+            a = fd[:, 3 * k][None, :]                 # (1, chunk)
+            b = fd[:, 3 * k + 1][None, :]
+            c = fd[:, 3 * k + 2][None, :]
+            return x * a + y * b + c                  # (n, chunk)
+
+        e0, e1, e2 = edge(0), edge(1), edge(2)
+        depth = (
+            x * fd[:, 9][None, :] + y * fd[:, 10][None, :] + fd[:, 11][None, :]
+        )
+        ok = (
+            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            & (depth > min_depth) & (fd[:, 12][None, :] > 0.0)
+        )
+        zcand = jnp.where(ok, depth, _FAR)            # (n, chunk)
+        local_z = jnp.min(zcand, axis=1, keepdims=True)
+        local_a = jnp.argmin(zcand, axis=1).astype(jnp.int32)[:, None]
+        take = local_z < best_z
+        best_z = jnp.where(take, local_z, best_z)
+        best_f = jnp.where(take, j * chunk + local_a, best_f)
+        return best_z, best_f
+
+    init = (
+        jnp.full((n, 1), _FAR, jnp.float32),
+        jnp.full((n, 1), -1, jnp.int32),
     )
-    zcand = jnp.where(ok, depth, _FAR)                # (n, chunk)
-    local_z = jnp.min(zcand, axis=1).reshape(rows, width)
-    local_a = jnp.argmin(zcand, axis=1).astype(jnp.int32).reshape(rows, width)
-    local_f = jnp.where(local_z < _FAR, j * chunk + local_a, -1)
-
-    @pl.when(j == 0)
-    def _():
-        z_ref[:] = local_z
-        fid_ref[:] = local_f
-
-    @pl.when(j > 0)
-    def _():
-        take = local_z < z_ref[:]
-        z_ref[:] = jnp.where(take, local_z, z_ref[:])
-        fid_ref[:] = jnp.where(take, local_f, fid_ref[:])
+    best_z, best_f = jax.lax.fori_loop(0, num_chunks, body, init)
+    best_f = jnp.where(best_z < _FAR, best_f, -1)
+    z_ref[:] = best_z.reshape(rows, width)
+    fid_ref[:] = best_f.reshape(rows, width)
 
 
 @functools.partial(
@@ -80,7 +85,7 @@ def zbuffer_sweep(
     h: int,
     w: int,
     chunk: int = 128,
-    rows: int = 16,
+    rows: int = 8,
     min_depth: float = 0.01,
     interpret: bool = False,
 ):
@@ -99,19 +104,21 @@ def zbuffer_sweep(
     F = face_data.shape[0]
     assert F % chunk == 0 and h % rows == 0
     kernel = functools.partial(
-        _kernel, rows=rows, width=w, chunk=chunk, min_depth=min_depth
+        _kernel, rows=rows, width=w, chunk=chunk, num_chunks=F // chunk,
+        min_depth=min_depth,
     )
     return pl.pallas_call(
         kernel,
-        grid=(h // rows, F // chunk),
+        # Face data is tiny (F x 16 floats); keep it whole in VMEM and loop
+        # chunks INSIDE the kernel — the grid has one step per pixel tile, so
+        # per-invocation overhead is paid ~h/rows times, not (h/rows)*(F/chunk).
+        grid=(h // rows,),
         in_specs=[
-            pl.BlockSpec(
-                (chunk, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((F, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((rows, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((h, w), jnp.float32),
