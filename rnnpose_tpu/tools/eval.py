@@ -29,6 +29,54 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def evaluate_frames(model, params, frames, max_frames=None):
+    """Shared eval loop: frames yields (inputs, cls, diameter, model_points,
+    point_valid). Returns (per-class summaries dict, overall dict).
+    Used by the CLI below and by the trainer's periodic eval
+    (reference `eval_once`, tools/train.py:666-757)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from ..eval.evaluator import PoseEvaluator
+    from ..models.rnnpose import RNNPose
+    from ..parallel.collectives import weighted_reduce_metrics
+
+    fwd = jax.jit(
+        lambda p, x, d3, c3: model.apply(
+            p, x, train=False, cached_desc3d=d3, cached_ctx3d=c3
+        )["Ti_pred"]
+    )
+    enc3d = jax.jit(lambda p, pyr: model.apply(p, pyr, method=RNNPose.encode_3d))
+    cache, evaluators = {}, {}
+    t_total, n_frames = 0.0, 0
+    for inputs, cls, diameter, model_points, point_valid in frames:
+        if max_frames is not None and n_frames >= max_frames:
+            break
+        if cls not in cache:
+            cache[cls] = enc3d(params, inputs.pyramid)
+            pts = (
+                model_points[point_valid > 0]
+                if point_valid is not None else model_points
+            )
+            evaluators[cls] = PoseEvaluator(cls, diameter, pts)
+        desc3d, ctx3d = cache[cls]
+        t0 = time.perf_counter()
+        T_pred = fwd(params, inputs, desc3d, ctx3d)
+        T_pred.block_until_ready()
+        t_total += time.perf_counter() - t0
+        n_frames += 1
+        evaluators[cls].evaluate(
+            np.asarray(T_pred), np.asarray(inputs.T_gt),
+            np.asarray(inputs.intrinsics),
+        )
+    results = {cls: ev.summarize() for cls, ev in evaluators.items()}
+    overall = weighted_reduce_metrics(list(results.values()))
+    overall["fps"] = n_frames / max(t_total, 1e-9)
+    return results, overall
+
+
 def main(argv=None):
     args = parse_args(argv)
     import dataclasses

@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--syn_zoom", type=int, default=120)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--eval_frames", type=int, default=200,
+                   help="frames per periodic in-training eval (0 disables)")
     return p.parse_args(argv)
 
 
@@ -192,6 +194,36 @@ def main(argv=None):
     opt_state = mesh_lib.replicate_params(opt_state, mesh)
     train_step = make_train_step(model, tx)
 
+    # ---- periodic eval setup (reference eval_once, tools/train.py:666-757) ----
+    eval_frame_gen = None
+    if not args.synthetic and args.eval_frames > 0:
+        ecfg = cfg["eval_input_reader"]["dataset"]["kwargs"]
+        if ecfg.get("info_paths"):
+            from ..data.linemod import collate_samples as _collate
+            from ..data.linemod import LinemodSynRealDataset as _DS
+            from ..data.linemod_config import diameter_m as _diam
+
+            eval_ds = _DS(
+                info_paths=ecfg["info_paths"],
+                root_paths=ecfg["root_paths"],
+                model_dir=ecfg["model_dir"],
+                kp_cfg=model_cfg.desc_kp,
+                is_train=False,
+                class_names=ecfg.get("class_names") or None,
+                init_pose_type=ecfg.get("init_pose_type", "POSECNN_LINEMOD"),
+                init_pose_paths=ecfg.get("init_pose_paths"),
+            )
+
+            def eval_frame_gen():
+                for i in range(0, len(eval_ds), max(len(eval_ds) // args.eval_frames, 1)):
+                    s_ = eval_ds[i]
+                    cls = s_["class_name"]
+                    a = eval_ds.class_assets(cls)
+                    yield (
+                        jax.tree.map(jnp.asarray, _collate([s_])),
+                        cls, _diam(cls), a.model_points, a.point_valid,
+                    )
+
     # ---- loop (reference 531-653) ----
     total = cfg["train_config"]["steps"]
     steps_per_eval = cfg["train_config"]["steps_per_eval"]
@@ -218,6 +250,16 @@ def main(argv=None):
                 step,
             )
             log.log_text(f"checkpoint saved at step {step}", step)
+            if eval_frame_gen is not None:
+                from .eval import evaluate_frames
+
+                _, overall = evaluate_frames(
+                    model, params, eval_frame_gen(),
+                    max_frames=args.eval_frames,
+                )
+                log.log_metrics(
+                    {f"eval/{k}": v for k, v in overall.items()}, step
+                )
     log.log_text("training done", step)
     log.close()
 
