@@ -69,6 +69,8 @@ class RefinerConfig:
     lm_lambda: float = 1e-4        # LM.LM_LMBDA (config/default.py:53-55)
     ep_lambda: float = 100.0       # LM.EP_LMBDA
     raster_chunk: int = 128
+    remat: bool = False            # rematerialize the inner scan body (trades
+                                   # recompute for activation memory in training)
 
     @property
     def lm_config(self) -> lm_lib.LMConfig:
@@ -202,8 +204,9 @@ class PoseRefiner(nn.Module):
 
         # Submodules created once; weights are shared across render iterations.
         image_fea_enc = ImageFeaEncoder(name="image_fea_enc")
+        step_cls = nn.remat(_InnerStep) if cfg.remat else _InnerStep
         inner_scan = nn.scan(
-            _InnerStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             length=cfg.gru_iters,

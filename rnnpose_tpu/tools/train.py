@@ -35,6 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--syn_zoom", type=int, default=120)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_frames", type=int, default=200,
                    help="frames per periodic in-training eval (0 disables)")
     return p.parse_args(argv)
@@ -171,7 +172,7 @@ def main(argv=None):
     batch_iter = iter(batches())
     first = next(batch_iter)
     params = jax.jit(lambda k: model.init(k, first, train=False))(
-        jax.random.PRNGKey(0)
+        jax.random.PRNGKey(args.seed)
     )
     if args.pretrained_path:
         from ..models.convert import load_pretrained
