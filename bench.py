@@ -78,16 +78,17 @@ def main():
     # to a fixpoint after a few frames, and identical executions can be
     # deduplicated by the sandbox's TPU relay, inflating fps by orders of
     # magnitude.)
-    iters = 20
     import numpy as _np
 
     rs = _np.random.RandomState(0)
-    jitters = [
-        jnp.asarray(rs.randn(*inputs.T_init.shape).astype(_np.float32) * 1e-3)
-        for _ in range(iters)
-    ]
 
-    def measure():
+    def measure(iters):
+        # Fresh jitters every call: executions that repeat earlier inputs can
+        # be served from the relay's dedup cache and corrupt the measurement.
+        jitters = [
+            jnp.asarray(rs.randn(*inputs.T_init.shape).astype(_np.float32) * 1e-3)
+            for _ in range(iters)
+        ]
         T = inputs.T_init
         t0 = time.perf_counter()
         for i in range(iters):
@@ -95,10 +96,12 @@ def main():
         T.block_until_ready()
         return (time.perf_counter() - t0) / iters
 
-    # The TPU is reached through a shared relay whose load varies run to run
-    # (observed 25x slowdowns under contention). Contention only ever slows a
-    # measurement, so take the best of several repetitions.
-    dt = min(measure() for _ in range(3))
+    # Asymptotic long-chain measurement: short chains are dominated by
+    # startup/queueing through the relay (chain-10 reads ~2x slower per frame
+    # than chain-160); 40+ frames reaches the plateau. Best-of-2 guards
+    # against relay load spikes (contention only ever slows).
+    measure(8)  # queue warmup
+    dt = min(measure(40) for _ in range(2))
     fps = inputs.image.shape[0] / dt
 
     print(

@@ -13,7 +13,7 @@ Functional re-design of the reference `model/CFNet.py`:
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,9 +27,14 @@ __all__ = ["ImageFeaEncoder", "GRUFlowStep", "split_context", "downsample_flow"]
 
 
 class ImageFeaEncoder(nn.Module):
-    """Encode both crop images to 1/8-res 256-d feature maps."""
+    """Encode both crop images to 1/8-res 256-d feature maps.
+
+    `dtype=bfloat16` is the TPU analog of the reference's AMP autocast around
+    the encoder (`CFNet.py:44-46`, enabled unconditionally there).
+    """
 
     output_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray):
@@ -37,24 +42,31 @@ class ImageFeaEncoder(nn.Module):
         # (reference `CFNet.py:39-40` does 2*(x/255)-1 on byte-range images).
         x = jnp.concatenate([img1, img2], axis=0)
         x = 2.0 * x - 1.0
-        fmap = BasicEncoder(self.output_dim, norm_fn="instance", name="fnet")(x)
+        fmap = BasicEncoder(
+            self.output_dim, norm_fn="instance", dtype=self.dtype, name="fnet"
+        )(x)
         b = img1.shape[0]
         return fmap[:b], fmap[b:]
 
 
 def split_context(
-    cfea: jnp.ndarray, hidden_dim: int = 128, context_dim: int = 128
+    cfea: jnp.ndarray, hidden_dim: int = 128, context_dim: int = 128,
+    dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rendered 3D context features -> initial GRU hidden + input.
 
     Downsample to 1/8, split channels [hidden | context], tanh/relu
-    (reference `CFNet.py:124-133`).
+    (reference `CFNet.py:124-133`). `dtype` casts the GRU state/input for
+    mixed-precision recurrence.
     """
     b, h, w, c = cfea.shape
     assert c >= hidden_dim + context_dim, f"context features too thin: {c}"
     lr = jax.image.resize(cfea, (b, h // 8, w // 8, c), "bilinear")
     net = jnp.tanh(lr[..., :hidden_dim])
     inp = nn.relu(lr[..., hidden_dim : hidden_dim + context_dim])
+    if dtype is not None:
+        net = net.astype(dtype)
+        inp = inp.astype(dtype)
     return net, inp
 
 
@@ -70,16 +82,22 @@ class GRUFlowStep(nn.Module):
     """One recurrent flow update at 1/8 res + convex upsampling to full res.
 
     corr lookup -> BasicUpdateBlock -> coords += delta -> upsample
-    (reference `CFNet.py:146-168` with iters=1 per call).
+    (reference `CFNet.py:146-168` with iters=1 per call). `dtype=bfloat16`
+    mirrors the reference's `mixed_precision: True` autocast around the
+    update block (`CFNet.py:126,152`, `template_fw0.5.yml:88`); the flow
+    delta and upsample come back in f32 for the LM solve.
     """
 
     corr_radius: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h, inp, pyramid: corr_ops.CorrPyramid, coords_lr, grid_lr):
         corr_feats = corr_ops.corr_lookup(pyramid, coords_lr, self.corr_radius)
         flow_lr = coords_lr - grid_lr
-        h, mask, delta = BasicUpdateBlock(name="update_block")(h, inp, corr_feats, flow_lr)
+        h, mask, delta = BasicUpdateBlock(dtype=self.dtype, name="update_block")(
+            h, inp, corr_feats, flow_lr
+        )
         coords_lr = coords_lr + delta
         flow_up = convex_upsample(coords_lr - grid_lr, mask, factor=8)
         return h, coords_lr, flow_up

@@ -10,7 +10,7 @@ GroupNorm(groups=C) without affine params, matching torch's
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,15 +28,18 @@ __all__ = [
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d(affine=False): per-sample, per-channel over H, W."""
+    """InstanceNorm2d(affine=False): per-sample, per-channel over H, W.
+
+    Statistics are always computed in float32 (safe under bf16 activations)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x, axis=(-3, -2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        return ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
 
 
 def _norm(norm_fn: str):
@@ -53,17 +56,18 @@ class ResidualBlock(nn.Module):
     planes: int
     stride: int = 1
     norm_fn: str = "instance"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, name="conv1")(x)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, dtype=self.dtype, name="conv1")(x)
         y = _norm(self.norm_fn)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), dtype=self.dtype, name="conv2")(y)
         y = _norm(self.norm_fn)(y)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            x = nn.Conv(self.planes, (1, 1), strides=self.stride, name="downsample")(x)
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride, dtype=self.dtype, name="downsample")(x)
             x = _norm(self.norm_fn)(x)
         return nn.relu(x + y)
 
@@ -77,41 +81,46 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 256
     norm_fn: str = "instance"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=2, name="conv1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=2, dtype=self.dtype, name="conv1")(x)
         x = _norm(self.norm_fn)(x)
         x = nn.relu(x)
         for i, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
-            x = ResidualBlock(planes, stride, self.norm_fn, name=f"layer{i + 1}_0")(x)
-            x = ResidualBlock(planes, 1, self.norm_fn, name=f"layer{i + 1}_1")(x)
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+            x = ResidualBlock(planes, stride, self.norm_fn, self.dtype, name=f"layer{i + 1}_0")(x)
+            x = ResidualBlock(planes, 1, self.norm_fn, self.dtype, name=f"layer{i + 1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x)
 
 
 class FlowHead(nn.Module):
     hidden_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(self.hidden_dim, (3, 3), name="conv1")(x))
-        return nn.Conv(2, (3, 3), name="conv2")(x)
+        x = nn.relu(nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype, name="conv1")(x))
+        return nn.Conv(2, (3, 3), dtype=self.dtype, name="conv2")(x)
 
 
 class SepConvGRU(nn.Module):
     """Separable 1x5 / 5x1 ConvGRU (reference `update.py:33-60`)."""
 
     hidden_dim: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h, x):
         for axis, name in ((1, "h"), (0, "v")):
             ksize = (1, 5) if axis == 1 else (5, 1)
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, name=f"convz_{name}")(hx))
-            r = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, name=f"convr_{name}")(hx))
+            z = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, dtype=self.dtype, name=f"convz_{name}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, dtype=self.dtype, name=f"convr_{name}")(hx))
             rhx = jnp.concatenate([r * h, x], axis=-1)
-            q = nn.tanh(nn.Conv(self.hidden_dim, ksize, name=f"convq_{name}")(rhx))
+            q = nn.tanh(nn.Conv(self.hidden_dim, ksize, dtype=self.dtype, name=f"convq_{name}")(rhx))
             h = (1 - z) * h + z * q
         return h
 
@@ -119,16 +128,18 @@ class SepConvGRU(nn.Module):
 class BasicMotionEncoder(nn.Module):
     """corr + flow -> 128-channel motion features (reference `update.py:79-97`)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, flow, corr):
-        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
-        cor = nn.relu(nn.Conv(192, (3, 3), name="convc2")(cor))
-        flo = nn.relu(nn.Conv(128, (7, 7), name="convf1")(flow))
-        flo = nn.relu(nn.Conv(64, (3, 3), name="convf2")(flo))
+        cor = nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype, name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), dtype=self.dtype, name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), dtype=self.dtype, name="convf1")(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), dtype=self.dtype, name="convf2")(flo))
         out = nn.relu(
-            nn.Conv(128 - 2, (3, 3), name="conv")(jnp.concatenate([cor, flo], -1))
+            nn.Conv(128 - 2, (3, 3), dtype=self.dtype, name="conv")(jnp.concatenate([cor, flo], -1))
         )
-        return jnp.concatenate([out, flow], axis=-1)
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
 
 
 class BasicUpdateBlock(nn.Module):
@@ -137,14 +148,18 @@ class BasicUpdateBlock(nn.Module):
 
     hidden_dim: int = 128
     downsample_scale: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h, inp, corr, flow):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
-        x = jnp.concatenate([inp, motion], axis=-1)
-        h = SepConvGRU(self.hidden_dim, name="gru")(h, x)
-        delta_flow = FlowHead(256, name="flow_head")(h)
-        m = nn.relu(nn.Conv(256, (3, 3), name="mask1")(h))
+        motion = BasicMotionEncoder(self.dtype, name="encoder")(flow, corr)
+        x = jnp.concatenate([inp.astype(motion.dtype), motion], axis=-1)
+        h = SepConvGRU(self.hidden_dim, self.dtype, name="gru")(h, x)
+        delta_flow = FlowHead(256, self.dtype, name="flow_head")(h)
+        m = nn.relu(nn.Conv(256, (3, 3), dtype=self.dtype, name="mask1")(h))
         s = self.downsample_scale
-        mask = 0.25 * nn.Conv(s * s * 9, (1, 1), name="mask2")(m)
-        return h, mask, delta_flow
+        mask = 0.25 * nn.Conv(s * s * 9, (1, 1), dtype=self.dtype, name="mask2")(m)
+        # Flow deltas and upsample logits return to f32: the LM solve and the
+        # convex combination are precision-sensitive (the reference's AMP
+        # casts back at the autocast boundary too).
+        return h, mask.astype(jnp.float32), delta_flow.astype(jnp.float32)

@@ -71,6 +71,13 @@ class RefinerConfig:
     raster_chunk: int = 128
     remat: bool = False            # rematerialize the inner scan body (trades
                                    # recompute for activation memory in training)
+    mixed_precision: bool = True   # bf16 encoder + GRU convs — the TPU analog
+                                   # of the reference's AMP autocast
+                                   # (`CFNet.py:44-46,126,152`, yml:88)
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.mixed_precision else None
 
     @property
     def lm_config(self) -> lm_lib.LMConfig:
@@ -136,9 +143,9 @@ class _InnerStep(nn.Module):
         pyramid = corr_ops.CorrPyramid(
             levels=c["corr_levels"], h=S // 8, w=S // 8
         )
-        h, coords_lr, flow_up = GRUFlowStep(cfg.corr_radius, name="cf_step")(
-            c["h"], c["inp"], pyramid, coords_lr, grid_lr
-        )
+        h, coords_lr, flow_up = GRUFlowStep(
+            cfg.corr_radius, dtype=cfg.compute_dtype, name="cf_step"
+        )(c["h"], c["inp"], pyramid, coords_lr, grid_lr)
         target = flow_up + grid[None]
 
         # Similarity weight from learned descriptors (reference 342-346):
@@ -203,7 +210,9 @@ class PoseRefiner(nn.Module):
         use_geo = geofea_3d is not None and geofea_2d is not None
 
         # Submodules created once; weights are shared across render iterations.
-        image_fea_enc = ImageFeaEncoder(name="image_fea_enc")
+        image_fea_enc = ImageFeaEncoder(
+            dtype=cfg.compute_dtype, name="image_fea_enc"
+        )
         step_cls = nn.remat(_InnerStep) if cfg.remat else _InnerStep
         inner_scan = nn.scan(
             step_cls,
@@ -287,7 +296,9 @@ class PoseRefiner(nn.Module):
             # (reference 311, `CFNet.py:115-122` update_corr_fn=(i==0)).
             fmap1, fmap2 = image_fea_enc(syn_img, image_crop)
             pyramid = corr_ops.build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
-            net, inp = split_context(cfea_crop, cfg.hidden_dim, cfg.context_dim)
+            net, inp = split_context(
+                cfea_crop, cfg.hidden_dim, cfg.context_dim, cfg.compute_dtype
+            )
 
             carry = {
                 "Tij": Tij,

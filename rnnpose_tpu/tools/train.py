@@ -123,7 +123,7 @@ def main(argv=None):
             ),
         )
 
-        def batches():
+        def batches(last_iter=-1):
             b = jax.tree.map(jnp.asarray, inputs)
             while True:
                 yield b
@@ -144,15 +144,17 @@ def main(argv=None):
             class_names=dcfg.get("class_names") or None,
             voc_root=dcfg.get("voc_root") or None,
         )
-        sampler = GivenIterationSampler(
-            len(dataset),
-            total_iter=cfg["train_config"]["steps"],
-            batch_size=cfg["train_input_reader"]["batch_size"],
-            shard_id=jax.process_index(),
-            num_shards=jax.process_count(),
-        )
-
-        def batches():
+        def batches(last_iter=-1):
+            # Resume fast-forwards the permutation by (last_iter+1)*batch
+            # (reference sampler semantics, utils/distributed_utils.py:200,260).
+            sampler = GivenIterationSampler(
+                len(dataset),
+                total_iter=cfg["train_config"]["steps"],
+                batch_size=cfg["train_input_reader"]["batch_size"],
+                shard_id=jax.process_index(),
+                num_shards=jax.process_count(),
+                last_iter=last_iter,
+            )
             it = iter(sampler)
             bs = cfg["train_input_reader"]["batch_size"]
             while True:
@@ -190,6 +192,10 @@ def main(argv=None):
         opt_state = restored["opt_state"]
         step = int(restored["step"])
         log.log_text(f"restored checkpoint at step {step}", step)
+        if not args.synthetic:
+            # Rebuild the batch stream fast-forwarded to the restored step.
+            batch_iter = iter(batches(last_iter=step - 1))
+            first = next(batch_iter)
 
     params = mesh_lib.replicate_params(params, mesh)
     opt_state = mesh_lib.replicate_params(opt_state, mesh)
