@@ -74,6 +74,15 @@ class RefinerConfig:
     mixed_precision: bool = True   # bf16 encoder + GRU convs — the TPU analog
                                    # of the reference's AMP autocast
                                    # (`CFNet.py:44-46,126,152`, yml:88)
+    corr_weight_res: str = "eighth"  # 'eighth' (TPU-first, similarity on the
+                                   # 1/8 grid) or 'full' (reference-exact)
+    lm_res: str = "eighth"         # LM residual grid: 'eighth' (default,
+                                   # TPU-first: normal equations accumulated
+                                   # on the 1/8 grid the flow actually lives
+                                   # on - 64x fewer residuals; measured BOTH
+                                   # 1.5x faster AND equal-or-better held-out
+                                   # ADD than 'full' in overfit_check) or
+                                   # 'full' (reference-exact 240^2 residuals)
 
     @property
     def compute_dtype(self):
@@ -132,12 +141,24 @@ class _InnerStep(nn.Module):
         # Gradients do not flow through the pose across iterations
         # (reference `PoseRefiner.py:319-321`).
         Tij = jax.lax.stop_gradient(c["Tij"])
-        depths = c["syn_depth"] + EPS
 
-        # Pose-induced flow initialization (reference 324-328).
-        reproj, _ = lm_lib.pose_transform_coords(Tij, depths, c["K_crop"])
-        flow_init = (reproj - grid[None]) * (c["syn_depth"] > EPS)[..., None]
-        coords_lr = grid_lr + downsample_flow(flow_init, 8)
+        if cfg.lm_res == "eighth":
+            # Everything pose-related lives on the 1/8 grid: the flow init is
+            # the pose-induced flow of the subsampled depth directly.
+            depth_lr = c["syn_depth"][:, 4::8, 4::8]
+            K_lr = c["K_crop"] / 8.0
+            reproj_lr, _ = lm_lib.pose_transform_coords(
+                Tij, depth_lr + EPS, K_lr
+            )
+            coords_lr = jnp.where(
+                (depth_lr > EPS)[..., None], reproj_lr, grid_lr
+            )
+        else:
+            depths = c["syn_depth"] + EPS
+            # Pose-induced flow initialization (reference 324-328).
+            reproj, _ = lm_lib.pose_transform_coords(Tij, depths, c["K_crop"])
+            flow_init = (reproj - grid[None]) * (c["syn_depth"] > EPS)[..., None]
+            coords_lr = grid_lr + downsample_flow(flow_init, 8)
 
         # GRU flow update at 1/8 + convex upsample (reference 329).
         pyramid = corr_ops.CorrPyramid(
@@ -152,24 +173,52 @@ class _InnerStep(nn.Module):
         # w = exp(-|1 - <geofea1, warp(geofea2, target)>| / sigma) * (depth>0).
         if cfg.with_corr_weight:
             sigma = self.param("sigma", nn.initializers.ones, (1,))
-            warped = bilinear_sample(c["geofea2_crop"], target)
-            dot = jnp.sum(c["geofea1"] * warped, axis=-1, keepdims=True)
-            weight = jnp.exp(-jnp.abs(1.0 - dot) / sigma) * (
-                c["syn_depth"] > 0
-            )[..., None].astype(dot.dtype)
+            if cfg.corr_weight_res == "eighth":
+                # TPU-first: the descriptor warp is a per-pixel gather — the
+                # single most expensive op at full res (~20 ms/frame measured
+                # across the 12 iterations). The descriptors are smooth deep
+                # features, so the similarity is computed on the 1/8 grid
+                # (where the flow lives) and bilinearly upsampled; the
+                # reference-exact full-res path is `corr_weight_res='full'`.
+                warped = bilinear_sample(c["geofea2_lr"], coords_lr)
+                dot = jnp.sum(c["geofea1_lr"] * warped, axis=-1, keepdims=True)
+                w_lr = jnp.exp(-jnp.abs(1.0 - dot) / sigma)
+                b, hl, wl, _ = w_lr.shape
+                weight = jax.image.resize(w_lr, (b, S, S, 1), "bilinear")
+            else:
+                warped = bilinear_sample(c["geofea2_crop"], target)
+                dot = jnp.sum(c["geofea1"] * warped, axis=-1, keepdims=True)
+                weight = jnp.exp(-jnp.abs(1.0 - dot) / sigma)
+            weight = weight * (c["syn_depth"] > 0)[..., None].astype(weight.dtype)
         else:
             weight = (c["syn_depth"] > 0)[..., None].astype(flow_up.dtype)
 
         # Differentiable LM pose update (reference 349-350).
-        Tij = lm_lib.reprojection_optim(
-            Tij,
-            target,
-            jnp.broadcast_to(weight, target.shape),
-            jax.lax.stop_gradient(c["syn_depth"]) + EPS,
-            jax.lax.stop_gradient(c["K_crop"]),
-            num_iters=cfg.optim_iters,
-            cfg=cfg.lm_config,
-        )
+        if cfg.lm_res == "eighth":
+            w_lr_full = (
+                w_lr * (depth_lr > 0)[..., None].astype(w_lr.dtype)
+                if cfg.with_corr_weight and cfg.corr_weight_res == "eighth"
+                else (depth_lr > 0)[..., None].astype(coords_lr.dtype)
+            )
+            Tij = lm_lib.reprojection_optim(
+                Tij,
+                coords_lr,
+                jnp.broadcast_to(w_lr_full, coords_lr.shape),
+                jax.lax.stop_gradient(depth_lr) + EPS,
+                jax.lax.stop_gradient(K_lr),
+                num_iters=cfg.optim_iters,
+                cfg=cfg.lm_config,
+            )
+        else:
+            Tij = lm_lib.reprojection_optim(
+                Tij,
+                target,
+                jnp.broadcast_to(weight, target.shape),
+                jax.lax.stop_gradient(c["syn_depth"]) + EPS,
+                jax.lax.stop_gradient(c["K_crop"]),
+                num_iters=cfg.optim_iters,
+                cfg=cfg.lm_config,
+            )
 
         c = dict(c, Tij=Tij, h=h)
         outs = {
@@ -198,6 +247,15 @@ class PoseRefiner(nn.Module):
         T_gt: Optional[jnp.ndarray] = None,  # (B, 4, 4) GT pose (for loss)
     ) -> RefinerOutputs:
         cfg = self.cfg
+        if (
+            cfg.lm_res == "eighth"
+            and cfg.with_corr_weight
+            and cfg.corr_weight_res != "eighth"
+        ):
+            raise ValueError(
+                "lm_res='eighth' requires corr_weight_res='eighth' when "
+                "similarity weighting is on"
+            )
         B = image.shape[0]
         S = cfg.zoom_crop_size
         h_img, w_img = image.shape[1], image.shape[2]
@@ -288,9 +346,6 @@ class PoseRefiner(nn.Module):
             # Observed crop + warped 2D descriptor crop (reference 287-291).
             src_coords = crop_lib.crop_source_coords(crop_params, S)
             image_crop = bilinear_sample(image, src_coords)
-            geofea2_crop = (
-                bilinear_sample(geofea_2d, src_coords) if use_geo else None
-            )
 
             # Image features + correlation pyramid, built once per render iter
             # (reference 311, `CFNet.py:115-122` update_corr_fn=(i==0)).
@@ -307,11 +362,25 @@ class PoseRefiner(nn.Module):
                 "corr_levels": pyramid.levels,
                 "syn_depth": syn_depth,
                 "K_crop": K_crop,
-                "geofea1": geofea1 if use_geo else jnp.zeros_like(syn_img[..., :1]),
-                "geofea2_crop": geofea2_crop
-                if use_geo
-                else jnp.zeros_like(image_crop[..., :1]),
             }
+            s8 = S // 8
+            if use_geo and cfg.corr_weight_res == "eighth":
+                # Descriptor similarity evaluated on the 1/8 grid: the 2D
+                # descriptor crop is sampled directly at the coarse grid and
+                # the rendered 3D descriptors are pooled to it.
+                src_coords_lr = crop_lib.crop_source_coords(crop_params, s8)
+                carry["geofea2_lr"] = bilinear_sample(geofea_2d, src_coords_lr)
+                B_, _, _, cg = geofea1.shape
+                carry["geofea1_lr"] = jax.image.resize(
+                    geofea1, (B_, s8, s8, cg), "bilinear"
+                )
+            elif use_geo:
+                carry["geofea1"] = geofea1
+                carry["geofea2_crop"] = bilinear_sample(geofea_2d, src_coords)
+            elif cfg.with_corr_weight:
+                raise ValueError(
+                    "with_corr_weight requires geofea_2d/geofea_3d inputs"
+                )
             carry, hist = inner_scan(carry, None)
             Tij = carry["Tij"]
 

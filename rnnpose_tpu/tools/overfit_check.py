@@ -23,6 +23,7 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=160)
     p.add_argument("--zoom", type=int, default=120)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lm_res", type=str, default="full")
     args = p.parse_args(argv)
 
     import jax
@@ -54,7 +55,7 @@ def main(argv=None):
         ctx_kp=dataclasses.replace(
             kp_cfg, final_feats_dim=256, normalize_output=False
         ),
-        refiner=RefinerConfig(zoom_crop_size=args.zoom),
+        refiner=RefinerConfig(zoom_crop_size=args.zoom, lm_res=args.lm_res),
     )
     model = RNNPose(cfg)
     params = jax.jit(lambda k: model.init(k, train_set[0], train=False))(
