@@ -78,22 +78,37 @@ def main():
     # to a fixpoint after a few frames, and identical executions can be
     # deduplicated by the sandbox's TPU relay, inflating fps by orders of
     # magnitude.)
+    import os as _os
+
     import numpy as _np
 
-    rs = _np.random.RandomState(0)
+    # Entropy seed: the relay's execution-dedup cache persists ACROSS
+    # processes, so a fixed jitter seed would replay inputs measured in any
+    # earlier run and read back cached results.
+    rs = _np.random.RandomState(int.from_bytes(_os.urandom(4), "little"))
+
+    T_base = inputs.T_init
 
     def measure(iters):
-        # Fresh jitters every call: executions that repeat earlier inputs can
-        # be served from the relay's dedup cache and corrupt the measurement.
+        # Distinct init pose per frame, always centered on the true pose:
+        #  * fresh entropy jitters defeat the relay's execution-dedup cache
+        #    (which persists across processes);
+        #  * re-centering prevents pose drift — a free-running chained pose
+        #    diverges off-screen within a few frames, after which renders are
+        #    empty and the measured 'frames' do almost no work;
+        #  * chaining a (stop-gradient-scaled) dependency on the previous
+        #    output keeps frames sequentially ordered.
         jitters = [
-            jnp.asarray(rs.randn(*inputs.T_init.shape).astype(_np.float32) * 1e-3)
+            jnp.asarray(rs.randn(*T_base.shape).astype(_np.float32) * 1e-3)
             for _ in range(iters)
         ]
-        T = inputs.T_init
+        T_out = T_base
         t0 = time.perf_counter()
         for i in range(iters):
-            T = fwd(params, inputs, desc3d, ctx3d, T + jitters[i])
-        T.block_until_ready()
+            T_in = T_base + jitters[i] + 0.0 * T_out  # sequential dependency
+            T_out = fwd(params, inputs, desc3d, ctx3d, T_in)
+        T_out.block_until_ready()
+        assert bool(jnp.isfinite(T_out).all()), "bench produced invalid poses"
         return (time.perf_counter() - t0) / iters
 
     # Asymptotic long-chain measurement: short chains are dominated by
