@@ -131,16 +131,20 @@ class _InnerStep(nn.Module):
     cfg: RefinerConfig
 
     @nn.compact
-    def __call__(self, carry, _):
+    def __call__(self, carry, inv):
+        """carry: {Tij, h} (the true loop state). inv: loop-invariant tensors
+        (corr pyramid, descriptors, depth, intrinsics) passed via
+        `nn.broadcast` so the scan does NOT copy them every iteration —
+        carrying them cost ~39 ms/frame of pure DMA in device traces."""
         cfg = self.cfg
-        c = carry
+        c = inv
         S = cfg.zoom_crop_size
         grid = proj.coords_grid(S, S)
         grid_lr = proj.coords_grid(S // 8, S // 8)[None]
 
         # Gradients do not flow through the pose across iterations
         # (reference `PoseRefiner.py:319-321`).
-        Tij = jax.lax.stop_gradient(c["Tij"])
+        Tij = jax.lax.stop_gradient(carry["Tij"])
 
         if cfg.lm_res == "eighth":
             # Everything pose-related lives on the 1/8 grid: the flow init is
@@ -166,7 +170,7 @@ class _InnerStep(nn.Module):
         )
         h, coords_lr, flow_up = GRUFlowStep(
             cfg.corr_radius, dtype=cfg.compute_dtype, name="cf_step"
-        )(c["h"], c["inp"], pyramid, coords_lr, grid_lr)
+        )(carry["h"], c["inp"], pyramid, coords_lr, grid_lr)
         target = flow_up + grid[None]
 
         # Similarity weight from learned descriptors (reference 342-346):
@@ -220,13 +224,12 @@ class _InnerStep(nn.Module):
                 cfg=cfg.lm_config,
             )
 
-        c = dict(c, Tij=Tij, h=h)
         outs = {
             "flow": flow_up,
             "Tij": Tij,
             "weight": weight,
         }
-        return c, outs
+        return {"Tij": Tij, "h": h}, outs
 
 
 class PoseRefiner(nn.Module):
@@ -276,6 +279,7 @@ class PoseRefiner(nn.Module):
             step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,   # loop-invariants are NOT carried/copied
             length=cfg.gru_iters,
         )(cfg, name="inner")
 
@@ -355,9 +359,8 @@ class PoseRefiner(nn.Module):
                 cfea_crop, cfg.hidden_dim, cfg.context_dim, cfg.compute_dtype
             )
 
-            carry = {
-                "Tij": Tij,
-                "h": net,
+            carry = {"Tij": Tij, "h": net}
+            inv = {
                 "inp": inp,
                 "corr_levels": pyramid.levels,
                 "syn_depth": syn_depth,
@@ -369,19 +372,19 @@ class PoseRefiner(nn.Module):
                 # descriptor crop is sampled directly at the coarse grid and
                 # the rendered 3D descriptors are pooled to it.
                 src_coords_lr = crop_lib.crop_source_coords(crop_params, s8)
-                carry["geofea2_lr"] = bilinear_sample(geofea_2d, src_coords_lr)
+                inv["geofea2_lr"] = bilinear_sample(geofea_2d, src_coords_lr)
                 B_, _, _, cg = geofea1.shape
-                carry["geofea1_lr"] = jax.image.resize(
+                inv["geofea1_lr"] = jax.image.resize(
                     geofea1, (B_, s8, s8, cg), "bilinear"
                 )
             elif use_geo:
-                carry["geofea1"] = geofea1
-                carry["geofea2_crop"] = bilinear_sample(geofea_2d, src_coords)
+                inv["geofea1"] = geofea1
+                inv["geofea2_crop"] = bilinear_sample(geofea_2d, src_coords)
             elif cfg.with_corr_weight:
                 raise ValueError(
                     "with_corr_weight requires geofea_2d/geofea_3d inputs"
                 )
-            carry, hist = inner_scan(carry, None)
+            carry, hist = inner_scan(carry, inv)
             Tij = carry["Tij"]
 
             # Per-iteration GT relative pose + bookkeeping (reference 356-362).
