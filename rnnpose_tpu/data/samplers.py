@@ -18,7 +18,7 @@ from typing import Iterator, List
 
 import numpy as np
 
-__all__ = ["GivenIterationSampler", "SequentialShardSampler"]
+__all__ = ["GivenIterationSampler", "GivenIterationSamplerEpoch", "SequentialShardSampler"]
 
 
 class GivenIterationSampler:
@@ -59,6 +59,20 @@ class GivenIterationSampler:
 
     def __len__(self) -> int:
         return self.total_size - (self.last_iter + 1) * self.batch_size
+
+
+class GivenIterationSamplerEpoch(GivenIterationSampler):
+    """Epoch variant: yields (index, epoch_seed) tuples so per-sample
+    augmentation can be re-seeded per epoch (reference
+    `DistributedGivenIterationSamplerEpoch`, `utils/distributed_utils.py:263-314`)."""
+
+    def __iter__(self):
+        start = (self.last_iter + 1) * self.batch_size
+        for pos in range(start, self.total_size):
+            epoch = (pos + self.total_size * self.shard_id) // max(
+                self.dataset_size, 1
+            )
+            yield int(self.indices[pos]), self.seed + epoch
 
 
 class SequentialShardSampler:
