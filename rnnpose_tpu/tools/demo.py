@@ -56,7 +56,7 @@ def main(argv=None):
     if args.ckpt_path:
         from ..train.checkpoint import restore_checkpoint
 
-        params = restore_checkpoint(args.ckpt_path, {"params": params})["params"]
+        params = restore_checkpoint(args.ckpt_path)["params"]
 
     out = jax.jit(lambda p, x: model.apply(p, x, train=False))(params, inputs)
 

@@ -181,9 +181,9 @@ def main(argv=None):
                 jax.random.PRNGKey(0)
             )
             if args.ckpt_path:
-                restored = ckpt_lib.restore_checkpoint(
-                    args.ckpt_path, {"params": params}
-                )
+                # Full-tree restore (orbax matches the on-disk structure,
+                # which includes opt_state/step) and take the params.
+                restored = ckpt_lib.restore_checkpoint(args.ckpt_path)
                 params = restored["params"]
             fwd = jax.jit(
                 lambda p, x, d3, c3: model.apply(
