@@ -51,17 +51,23 @@ class ImageFeaEncoder(nn.Module):
 
 def split_context(
     cfea: jnp.ndarray, hidden_dim: int = 128, context_dim: int = 128,
-    dtype=None,
+    dtype=None, out_hw=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rendered 3D context features -> initial GRU hidden + input.
 
-    Downsample to 1/8, split channels [hidden | context], tanh/relu
-    (reference `CFNet.py:124-133`). `dtype` casts the GRU state/input for
+    Downsample to 1/8 (no-op if `cfea` is already at the coarse resolution),
+    split channels [hidden | context], tanh/relu (reference
+    `CFNet.py:124-133`). `dtype` casts the GRU state/input for
     mixed-precision recurrence.
     """
     b, h, w, c = cfea.shape
     assert c >= hidden_dim + context_dim, f"context features too thin: {c}"
-    lr = jax.image.resize(cfea, (b, h // 8, w // 8, c), "bilinear")
+    if out_hw is None:
+        out_hw = (h // 8, w // 8)
+    if (h, w) != tuple(out_hw):
+        lr = jax.image.resize(cfea, (b, *out_hw, c), "bilinear")
+    else:
+        lr = cfea
     net = jnp.tanh(lr[..., :hidden_dim])
     inp = nn.relu(lr[..., hidden_dim : hidden_dim + context_dim])
     if dtype is not None:

@@ -329,23 +329,49 @@ class PoseRefiner(nn.Module):
                 R = jax.lax.stop_gradient(Ti_render[:, :3, :3])
                 attrs.append(jnp.einsum("bij,vj->bvi", R, mesh.normals))
                 n_shade = 3
-            attrs.append(ctx_fea_3d)
-            if use_geo:
-                attrs.append(geofea_3d)
-            vert_attrs = jnp.concatenate(attrs, axis=-1)
             frags = rasterize(
                 verts_cam, mesh.faces, K_crop, S, S,
                 face_valid=mesh.face_valid, chunk=cfg.raster_chunk,
             )
-            attr_maps = interpolate_attributes(frags, mesh.faces, vert_attrs)
-            syn_img = attr_maps[..., :3]
-            if n_shade:
-                syn_img = headlight_shade(syn_img, attr_maps[..., 3 : 3 + n_shade])
-            c_ctx = ctx_fea_3d.shape[-1]
-            base = 3 + n_shade
-            cfea_crop = attr_maps[..., base : base + c_ctx] * cfg.feature_scale
-            geofea1 = attr_maps[..., base + c_ctx :] if use_geo else None
             syn_depth = frags.zbuf  # detached by rasterize
+            s8 = S // 8
+            eighth = cfg.corr_weight_res == "eighth"
+
+            # Attribute interpolation, split by consumer resolution. The
+            # context features (256ch) and 3D descriptors (32ch) are consumed
+            # on the 1/8 grid (GRU context + similarity weights), so in the
+            # TPU-first 'eighth' mode they are interpolated ONLY at the 1/8
+            # pixel grid — the full-res 294-channel gather was the single
+            # hottest group of ops in device traces (~10 ms/frame). Full-res
+            # interpolation is kept for RGB(+normals) and, in the
+            # reference-exact 'full' mode, for everything.
+            vis_attrs = jnp.concatenate(attrs, axis=-1)  # colors [+ normals]
+            attr_vis = interpolate_attributes(frags, mesh.faces, vis_attrs)
+            syn_img = attr_vis[..., :3]
+            if n_shade:
+                syn_img = headlight_shade(syn_img, attr_vis[..., 3:])
+
+            feat_list = [ctx_fea_3d]
+            if use_geo:
+                feat_list.append(geofea_3d)
+            feat_attrs = jnp.concatenate(feat_list, axis=-1)
+            c_ctx = ctx_fea_3d.shape[-1]
+            if eighth:
+                frags_lr = frags.__class__(
+                    face_id=frags.face_id[:, 4::8, 4::8],
+                    bary=frags.bary[:, 4::8, 4::8],
+                    zbuf=frags.zbuf[:, 4::8, 4::8],
+                )
+                feat_lr = interpolate_attributes(frags_lr, mesh.faces, feat_attrs)
+                cfea_lr = feat_lr[..., :c_ctx] * cfg.feature_scale
+                geofea1_lr = feat_lr[..., c_ctx:] if use_geo else None
+                cfea_for_ctx = cfea_lr
+                geofea1 = None
+            else:
+                attr_feat = interpolate_attributes(frags, mesh.faces, feat_attrs)
+                cfea_crop = attr_feat[..., :c_ctx] * cfg.feature_scale
+                geofea1 = attr_feat[..., c_ctx:] if use_geo else None
+                cfea_for_ctx = cfea_crop
 
             # Observed crop + warped 2D descriptor crop (reference 287-291).
             src_coords = crop_lib.crop_source_coords(crop_params, S)
@@ -356,7 +382,8 @@ class PoseRefiner(nn.Module):
             fmap1, fmap2 = image_fea_enc(syn_img, image_crop)
             pyramid = corr_ops.build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
             net, inp = split_context(
-                cfea_crop, cfg.hidden_dim, cfg.context_dim, cfg.compute_dtype
+                cfea_for_ctx, cfg.hidden_dim, cfg.context_dim,
+                cfg.compute_dtype, out_hw=(s8, s8),
             )
 
             carry = {"Tij": Tij, "h": net}
@@ -366,17 +393,13 @@ class PoseRefiner(nn.Module):
                 "syn_depth": syn_depth,
                 "K_crop": K_crop,
             }
-            s8 = S // 8
-            if use_geo and cfg.corr_weight_res == "eighth":
+            if use_geo and eighth:
                 # Descriptor similarity evaluated on the 1/8 grid: the 2D
                 # descriptor crop is sampled directly at the coarse grid and
-                # the rendered 3D descriptors are pooled to it.
+                # the rendered 3D descriptors interpolated there.
                 src_coords_lr = crop_lib.crop_source_coords(crop_params, s8)
                 inv["geofea2_lr"] = bilinear_sample(geofea_2d, src_coords_lr)
-                B_, _, _, cg = geofea1.shape
-                inv["geofea1_lr"] = jax.image.resize(
-                    geofea1, (B_, s8, s8, cg), "bilinear"
-                )
+                inv["geofea1_lr"] = geofea1_lr
             elif use_geo:
                 inv["geofea1"] = geofea1
                 inv["geofea2_crop"] = bilinear_sample(geofea_2d, src_coords)
