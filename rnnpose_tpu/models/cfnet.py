@@ -96,6 +96,7 @@ class GRUFlowStep(nn.Module):
 
     corr_radius: int = 4
     dtype: Any = None
+    emit_full_flow: bool = True
 
     @nn.compact
     def __call__(self, h, inp, pyramid: corr_ops.CorrPyramid, coords_lr, grid_lr):
@@ -105,5 +106,10 @@ class GRUFlowStep(nn.Module):
             h, inp, corr_feats, flow_lr
         )
         coords_lr = coords_lr + delta
-        flow_up = convex_upsample(coords_lr - grid_lr, mask, factor=8)
+        if self.emit_full_flow:
+            flow_up = convex_upsample(coords_lr - grid_lr, mask, factor=8)
+        else:
+            # Inference with the 1/8 LM never consumes the full-res flow;
+            # return the coarse flow (histories stay cheap).
+            flow_up = coords_lr - grid_lr
         return h, coords_lr, flow_up

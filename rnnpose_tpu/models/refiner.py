@@ -76,6 +76,9 @@ class RefinerConfig:
                                    # (`CFNet.py:44-46,126,152`, yml:88)
     corr_weight_res: str = "eighth"  # 'eighth' (TPU-first, similarity on the
                                    # 1/8 grid) or 'full' (reference-exact)
+    emit_full_flow: bool = True    # convex-upsample the flow to full res each
+                                   # iteration (needed by the training loss;
+                                   # inference can skip it - see RNNPose)
     lm_res: str = "eighth"         # LM residual grid: 'eighth' (default,
                                    # TPU-first: normal equations accumulated
                                    # on the 1/8 grid the flow actually lives
@@ -169,9 +172,10 @@ class _InnerStep(nn.Module):
             levels=c["corr_levels"], h=S // 8, w=S // 8
         )
         h, coords_lr, flow_up = GRUFlowStep(
-            cfg.corr_radius, dtype=cfg.compute_dtype, name="cf_step"
+            cfg.corr_radius, dtype=cfg.compute_dtype,
+            emit_full_flow=cfg.emit_full_flow, name="cf_step"
         )(carry["h"], c["inp"], pyramid, coords_lr, grid_lr)
-        target = flow_up + grid[None]
+        target = flow_up + grid[None] if cfg.emit_full_flow else None
 
         # Similarity weight from learned descriptors (reference 342-346):
         # w = exp(-|1 - <geofea1, warp(geofea2, target)>| / sigma) * (depth>0).
@@ -248,8 +252,18 @@ class PoseRefiner(nn.Module):
         geofea_3d: Optional[jnp.ndarray],  # (B, V, C_geo) 3D descriptors
         geofea_2d: Optional[jnp.ndarray],  # (B, H, W, C_geo) 2D descriptors
         T_gt: Optional[jnp.ndarray] = None,  # (B, 4, 4) GT pose (for loss)
+        emit_full_flow: Optional[bool] = None,  # static; default cfg value
     ) -> RefinerOutputs:
         cfg = self.cfg
+        if emit_full_flow is not None and emit_full_flow != cfg.emit_full_flow:
+            cfg = dataclasses.replace(cfg, emit_full_flow=emit_full_flow)
+        if not cfg.emit_full_flow and (
+            cfg.lm_res != "eighth"
+            or (cfg.with_corr_weight and cfg.corr_weight_res != "eighth")
+        ):
+            raise ValueError(
+                "emit_full_flow=False requires the 1/8-grid LM and similarity"
+            )
         if (
             cfg.lm_res == "eighth"
             and cfg.with_corr_weight

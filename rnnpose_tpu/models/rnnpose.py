@@ -135,6 +135,15 @@ class RNNPose(nn.Module):
             else self.ctx_fea_net(inputs.pyramid)
         )
 
+        # Training needs the full-res convex-upsampled flow for the sequence
+        # loss; the 1/8-grid inference path skips those 12 upsamples.
+        emit_full_flow = train or not (
+            self.cfg.refiner.lm_res == "eighth"
+            and (
+                not self.cfg.refiner.with_corr_weight
+                or self.cfg.refiner.corr_weight_res == "eighth"
+            )
+        )
         outs = self.motion_net(
             image=inputs.image,
             T_init=inputs.T_init,
@@ -144,6 +153,7 @@ class RNNPose(nn.Module):
             geofea_3d=desc3d,
             geofea_2d=desc2d,
             T_gt=inputs.T_gt,
+            emit_full_flow=emit_full_flow,
         )
 
         ret: Dict[str, Any] = {
