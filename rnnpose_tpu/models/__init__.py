@@ -5,3 +5,4 @@ from .refiner import PoseRefiner, RefinerConfig, MeshAssets, RefinerOutputs  # n
 from .kpconv_net import KPConvConfig, KPFCNN, PointPyramid  # noqa: F401
 from .hybrid import HybridDescNet, ContextFeatureNet  # noqa: F401
 from .superpoint import SuperPoint2D  # noqa: F401
+from .engine import InferenceEngine  # noqa: F401

@@ -43,7 +43,6 @@ from ..ops import corr as corr_ops
 from ..ops.sampler import bilinear_sample
 from ..render.raster import rasterize, interpolate_attributes
 from ..render.shading import headlight_shade
-from ..render.splat import splat_depth
 from .cfnet import GRUFlowStep, ImageFeaEncoder, downsample_flow, split_context
 
 __all__ = ["RefinerConfig", "MeshAssets", "RefinerOutputs", "PoseRefiner"]

@@ -137,3 +137,24 @@ def test_jit_forward(model_and_params):
     # jit and eager use different conv kernels on CPU (~1e-5 deltas), which
     # the untrained recurrence amplifies — only a coarse bound is meaningful.
     assert add < 5e-2, f"jit/eager ADD divergence {add*1000:.2f} mm"
+
+
+def test_inference_engine(model_and_params):
+    from rnnpose_tpu.models.engine import InferenceEngine
+
+    inputs, cfg, model, params = model_and_params
+    eng = InferenceEngine(model, params)
+    out1 = eng.refine("cat", inputs)
+    assert "cat" in eng._cache
+    out2 = eng.refine("cat", inputs)  # cached path
+    np.testing.assert_allclose(out1["Ti_pred"], out2["Ti_pred"], atol=1e-6)
+    # Compare against the jitted direct forward (eager differs by conv-kernel
+    # choice on CPU, see test_jit_forward).
+    direct = jax.jit(lambda p, x: model.apply(p, x, train=False)["Ti_pred"])(
+        params, inputs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["Ti_pred"]), np.asarray(direct), atol=1e-4
+    )
+    eng.evict()
+    assert not eng._cache
