@@ -78,6 +78,10 @@ class RefinerConfig:
     emit_full_flow: bool = True    # convex-upsample the flow to full res each
                                    # iteration (needed by the training loss;
                                    # inference can skip it - see RNNPose)
+    backface_cull: bool = False    # cull faces pointing away from the camera
+                                   # (normal test with a silhouette margin)
+                                   # and compact the sweep to 5/8 of the face
+                                   # budget - needs consistent mesh winding
     lm_res: str = "eighth"         # LM residual grid: 'eighth' (default,
                                    # TPU-first: normal equations accumulated
                                    # on the 1/8 grid the flow actually lives
@@ -342,9 +346,31 @@ class PoseRefiner(nn.Module):
                 R = jax.lax.stop_gradient(Ti_render[:, :3, :3])
                 attrs.append(jnp.einsum("bij,vj->bvi", R, mesh.normals))
                 n_shade = 3
+            face_keep = None
+            compact_to = None
+            if cfg.backface_cull and mesh.normals is not None:
+                # Backface test in camera frame with a silhouette margin:
+                # keep faces whose outward normal is within ~78deg of facing
+                # the camera. A closed consistently-wound mesh has ~50%
+                # backfaces every frame; the sweep is compacted to 5/8 F.
+                R = jax.lax.stop_gradient(Ti_render[:, :3, :3])
+                n_face = mesh.normals[mesh.faces].mean(axis=1)     # (F, 3)
+                c_face = mesh.verts[mesh.faces].mean(axis=1)       # (F, 3)
+                n_cam = jnp.einsum("bij,fj->bfi", R, n_face)
+                c_cam = proj.transform_points(Ti_render, c_face[None])
+                dot = jnp.sum(n_cam * c_cam, axis=-1)
+                norm = jnp.linalg.norm(n_cam, axis=-1) * jnp.maximum(
+                    jnp.linalg.norm(c_cam, axis=-1), 1e-6
+                )
+                face_keep = dot < 0.2 * norm
+                F_total = mesh.faces.shape[0]
+                compact_to = (
+                    (F_total * 5 // 8) // cfg.raster_chunk * cfg.raster_chunk
+                )
             frags = rasterize(
                 verts_cam, mesh.faces, K_crop, S, S,
                 face_valid=mesh.face_valid, chunk=cfg.raster_chunk,
+                face_keep=face_keep, compact_to=compact_to,
             )
             syn_depth = frags.zbuf  # detached by rasterize
             s8 = S // 8

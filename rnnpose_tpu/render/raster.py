@@ -79,8 +79,14 @@ def _use_pallas_default() -> bool:
     return False
 
 
-def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas):
-    """Rasterize one mesh instance. uv (V, 2), z (V,), faces (F, 3)."""
+def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas,
+                      compact_to=None):
+    """Rasterize one mesh instance. uv (V, 2), z (V,), faces (F, 3).
+
+    compact_to: optionally sort faces by validity and sweep only the first
+    `compact_to` (static) — used with per-pose backface culling, where ~half
+    the faces are invalid every frame but static shapes forbid dropping them
+    dynamically."""
     F = faces.shape[0]
     assert F % chunk == 0, f"face count {F} must be divisible by chunk {chunk}"
     edge_coef, zf, valid, area2 = _face_screen_data(uv, z, faces, face_valid)
@@ -97,6 +103,16 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas):
     pix = jnp.concatenate(
         [grid.reshape(-1, 2) + 0.5, jnp.ones((h * w, 1))], axis=-1
     )  # (P, 3) pixel centers, homogeneous
+
+    perm = None
+    if compact_to is not None and compact_to < F:
+        assert compact_to % chunk == 0
+        # Valid faces first (stable order); sweep only the head.
+        perm = jnp.argsort(~valid)[:compact_to]
+        coef = coef[perm]
+        zcoef = zcoef[perm]
+        valid = valid[perm]
+        F = compact_to
 
     if use_pallas:
         from ..ops.pallas_raster import zbuffer_sweep
@@ -118,8 +134,11 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas):
         bary = jnp.einsum("pc,pkc->pk", pix, coef[fid_safe])
         bary = jnp.where(hit[:, None], bary, 0.0)
         zout = jnp.where(hit, best_z, 0.0)
+        best_fid = jnp.where(hit, best_fid, -1)
+        if perm is not None:
+            best_fid = jnp.where(hit, perm[fid_safe], -1)
         return (
-            jnp.where(hit, best_fid, -1).reshape(h, w),
+            best_fid.reshape(h, w),
             bary.reshape(h, w, 3),
             zout.reshape(h, w),
         )
@@ -168,8 +187,11 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas):
     bary = jnp.einsum("pc,pkc->pk", pix, coef[fid_safe])         # (P, 3)
     bary = jnp.where(hit[:, None], bary, 0.0)
     zout = jnp.where(hit, best_z, 0.0)
+    best_fid = jnp.where(hit, best_fid, -1)
+    if perm is not None:
+        best_fid = jnp.where(hit, perm[fid_safe], -1)
     return (
-        jnp.where(hit, best_fid, -1).reshape(h, w),
+        best_fid.reshape(h, w),
         bary.reshape(h, w, 3),
         zout.reshape(h, w),
     )
@@ -184,6 +206,8 @@ def rasterize(
     face_valid: Optional[jnp.ndarray] = None,
     chunk: int = 128,
     use_pallas: Optional[bool] = None,
+    face_keep: Optional[jnp.ndarray] = None,
+    compact_to: Optional[int] = None,
 ) -> Fragments:
     """Rasterize camera-frame meshes.
 
@@ -196,6 +220,9 @@ def rasterize(
       chunk: faces per scan step (F must be a multiple).
       use_pallas: run the z-buffer sweep as the Pallas TPU kernel
         (`ops/pallas_raster.py`); default: auto (TPU backend only).
+      face_keep: optional (B, F) per-pose keep mask (e.g. backface culling).
+      compact_to: with face_keep, sort faces by validity and sweep only this
+        many (static; must cover the max possible kept count).
     Returns:
       Fragments with (B, H, W[, 3]) leaves. Not on the gradient path.
     """
@@ -209,12 +236,16 @@ def rasterize(
     uv, _ = proj.project(verts_cam, intrinsics[:, None, :])
     z = verts_cam[..., 2]
 
-    def one(uv_b, z_b, _unused):
+    if face_keep is None:
+        face_keep = jnp.ones((uv.shape[0], faces.shape[0]), bool)
+
+    def one(uv_b, z_b, keep_b):
         return _rasterize_single(
-            uv_b, z_b, faces, face_valid, h, w, chunk, use_pallas
+            uv_b, z_b, faces, face_valid & keep_b, h, w, chunk, use_pallas,
+            compact_to,
         )
 
-    fid, bary, zbuf = jax.vmap(one)(uv, z, intrinsics)
+    fid, bary, zbuf = jax.vmap(one)(uv, z, face_keep)
     fid = jax.lax.stop_gradient(fid)
     bary = jax.lax.stop_gradient(bary)
     zbuf = jax.lax.stop_gradient(zbuf)

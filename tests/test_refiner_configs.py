@@ -53,3 +53,23 @@ def test_invalid_combo_raises(tiny):
     m = RNNPose(cfg2)
     with pytest.raises(ValueError):
         m.init(jax.random.PRNGKey(0), inputs, train=False)
+
+
+def test_backface_cull_config(tiny):
+    import dataclasses as dc
+
+    import jax as _jax
+    import numpy as _np
+
+    from rnnpose_tpu.models.rnnpose import RNNPose as _R
+
+    inputs, cfg = tiny
+    cfg2 = dc.replace(cfg, refiner=dc.replace(cfg.refiner, backface_cull=True))
+    m = _R(cfg2)
+    p = m.init(_jax.random.PRNGKey(0), inputs, train=False)
+    out = m.apply(p, inputs, train=False)
+    T = _np.asarray(out["Ti_pred"])
+    assert _np.isfinite(T).all()
+    # the render must still cover a sensible area (culling keeps the front)
+    depth = _np.asarray(out["refiner"].syn_depth_history[-1])
+    assert (depth > 0).mean() > 0.05
