@@ -1,8 +1,18 @@
-"""Pallas TPU kernel for the z-buffer resolve of the rasterizer.
+"""Pallas TPU kernels for the z-buffer resolve of the rasterizer.
+
+Two kernels:
+
+  * `zbuffer_sweep_tiled` — the production path: per-tile face-chunk
+    culling + VMEM-resident running z-min (see the block comment below).
+    4096 faces @ 240^2 in ~1 ms-class device time; exact f32 (bit-matches
+    the CPU render up to edge ties).
+  * `zbuffer_sweep` — the older brute-force kernel (every tile tests every
+    face); VPU-compute-bound, kept for reference/regression comparison.
 
 The pure-JAX rasterizer (`render/raster.py`) expresses the face/pixel sweep
-as a `lax.scan` of matmuls — correct, but XLA materializes (P, C) candidate
-arrays in HBM between scan steps. This kernel keeps the whole sweep on-chip:
+as a `lax.scan` of matmuls — correct (with Precision.HIGHEST), but XLA
+materializes (P, C) candidate arrays in HBM between scan steps. The
+brute-force kernel keeps the sweep on-chip:
 
   grid = (pixel row-tiles, face chunks); each invocation evaluates the three
   edge functions + affine depth of `chunk` faces at a (rows x W) pixel tile
@@ -25,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["zbuffer_sweep"]
+__all__ = ["zbuffer_sweep", "zbuffer_sweep_tiled"]
 
 _FAR = 1e9
 
@@ -126,3 +136,170 @@ def zbuffer_sweep(
         ),
         interpret=interpret,
     )(face_data)
+
+
+# ---------------------------------------------------------------------------
+# Tiled sweep with per-tile face-chunk culling.
+#
+# The brute-force sweep above is VPU-compute-bound: every pixel tile tests
+# every face (P*F*~20 flops — ~6 GFLOP at 240^2/4096f, several ms at VPU
+# rates). But a rasterized mesh is spatially local: a 16x16 pixel tile
+# overlaps the screen bbox of only a small fraction of face chunks. So:
+#
+#   host (XLA) side: per-face screen bboxes -> conservative tile/chunk
+#     overlap matrix (T, F/chunk) -> packed per-tile chunk-id lists + counts
+#     (one tiny argsort; ~1% of the sweep's cost).
+#   kernel: grid over pixel tiles; each invocation loops over ONLY its
+#     overlapping chunks (dynamic trip count from scalar-prefetched counts),
+#     evaluating edge functions + affine depth in VMEM and keeping the
+#     running (z, face_id) minimum in registers.
+#
+# The bbox test is conservative, so the result is bit-comparable to the
+# full sweep up to float-associativity in the edge/depth evaluation.
+# ---------------------------------------------------------------------------
+
+
+def _tiled_kernel(ids_ref, counts_ref, face_ref, z_ref, fid_ref, *,
+                  tile: int, w_tiles: int, chunk: int, min_depth: float):
+    t = pl.program_id(0)
+    ty = t // w_tiles
+    tx = t % w_tiles
+
+    n = tile * tile
+    lin = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    x = (lin % tile + tx * tile).astype(jnp.float32) + 0.5   # (n, 1)
+    y = (lin // tile + ty * tile).astype(jnp.float32) + 0.5
+
+    def body(j, carry):
+        best_z, best_f = carry
+        cid = ids_ref[t, j]
+        fd = face_ref[cid]                                   # (16, chunk)
+        e0 = x * fd[0:1, :] + y * fd[1:2, :] + fd[2:3, :]    # (n, chunk)
+        e1 = x * fd[3:4, :] + y * fd[4:5, :] + fd[5:6, :]
+        e2 = x * fd[6:7, :] + y * fd[7:8, :] + fd[8:9, :]
+        depth = x * fd[9:10, :] + y * fd[10:11, :] + fd[11:12, :]
+        ok = (
+            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            & (depth > min_depth) & (fd[12:13, :] > 0.0)
+        )
+        zcand = jnp.where(ok, depth, _FAR)                   # (n, chunk)
+        local_z = jnp.min(zcand, axis=1, keepdims=True)
+        local_a = jnp.argmin(zcand, axis=1).astype(jnp.int32)[:, None]
+        take = local_z < best_z
+        best_z = jnp.where(take, local_z, best_z)
+        best_f = jnp.where(take, cid * chunk + local_a, best_f)
+        return best_z, best_f
+
+    init = (
+        jnp.full((n, 1), _FAR, jnp.float32),
+        jnp.full((n, 1), -1, jnp.int32),
+    )
+    best_z, best_f = jax.lax.fori_loop(0, counts_ref[t], body, init)
+    best_f = jnp.where(best_z < _FAR, best_f, -1)
+    z_ref[:] = best_z.reshape(1, tile, tile)
+    fid_ref[:] = best_f.reshape(1, tile, tile)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "chunk", "tile", "min_depth", "interpret"),
+)
+def zbuffer_sweep_tiled(
+    face_data: jnp.ndarray,
+    bbox: jnp.ndarray,
+    h: int,
+    w: int,
+    chunk: int = 128,
+    tile: int = 16,
+    min_depth: float = 0.01,
+    interpret: bool = False,
+):
+    """Nearest-face sweep with tile-level chunk culling.
+
+    Args:
+      face_data: (F, 16) float32 rows
+        [a0,b0,c0, a1,b1,c1, a2,b2,c2, za,zb,zc, valid, pad, pad, pad]
+        (same layout as `zbuffer_sweep`).
+      bbox: (F, 4) float32 [x0, y0, x1, y1] screen-space bbox per face;
+        invalid faces must carry an empty bbox (x0 > x1) so they cull away.
+      h, w: raster size, divisible by `tile`.
+      chunk: faces per culling granule (F divisible by chunk).
+    Returns:
+      (zbuf (h, w) f32 with FAR where empty, face_id (h, w) i32 with -1).
+    """
+    F = face_data.shape[0]
+    assert F % chunk == 0 and h % tile == 0 and w % tile == 0
+    nc = F // chunk
+    h_tiles, w_tiles = h // tile, w // tile
+    T = h_tiles * w_tiles
+
+    # --- host-side (XLA) culling tables ---
+    # Tile pixel-center extents.
+    tyx = jnp.arange(T, dtype=jnp.int32)
+    tx0 = (tyx % w_tiles * tile).astype(jnp.float32) + 0.5   # (T,)
+    ty0 = (tyx // w_tiles * tile).astype(jnp.float32) + 0.5
+    tx1 = tx0 + (tile - 1)
+    ty1 = ty0 + (tile - 1)
+    overlap = (
+        (bbox[None, :, 0] <= tx1[:, None])
+        & (bbox[None, :, 2] >= tx0[:, None])
+        & (bbox[None, :, 1] <= ty1[:, None])
+        & (bbox[None, :, 3] >= ty0[:, None])
+    )                                                        # (T, F)
+    chunk_hit = jnp.any(overlap.reshape(T, nc, chunk), axis=-1)  # (T, nc)
+    counts = jnp.sum(chunk_hit, axis=-1).astype(jnp.int32)   # (T,)
+    # Packed ascending chunk ids: stable argsort of ~hit puts hits first in
+    # index order (matching the full sweep's chunk visit order, so the
+    # first-chunk-wins tie-breaking is identical).
+    ids = jnp.argsort(~chunk_hit, axis=-1, stable=True).astype(jnp.int32)
+
+    face_vmem = (
+        face_data.reshape(nc, chunk, 16).transpose(0, 2, 1)  # (nc, 16, chunk)
+    )
+
+    kernel = functools.partial(
+        _tiled_kernel, tile=tile, w_tiles=w_tiles, chunk=chunk,
+        min_depth=min_depth,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (nc, 16, chunk), lambda t, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            # (1, tile, tile) blocks of a (T, tile, tile) array: TPU requires
+            # the last two block dims be 8/128-divisible OR equal to the
+            # array dims — tile-shaped trailing dims satisfy the latter. The
+            # (h, w) raster is reassembled from tiles by XLA below.
+            pl.BlockSpec(
+                (1, tile, tile), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, tile), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    zt, ft = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, tile, tile), jnp.float32),
+            jax.ShapeDtypeStruct((T, tile, tile), jnp.int32),
+        ),
+        interpret=interpret,
+    )(ids, counts, face_vmem)
+
+    def untile(a):
+        return (
+            a.reshape(h_tiles, w_tiles, tile, tile)
+            .transpose(0, 2, 1, 3)
+            .reshape(h, w)
+        )
+
+    return untile(zt), untile(ft)

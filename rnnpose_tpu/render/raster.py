@@ -70,12 +70,22 @@ def _face_screen_data(uv, z, faces, face_valid):
     return edge_coef, zf, valid, area2
 
 
-def _use_pallas_default() -> bool:
-    # Measured on v5e @ 240^2/4096 faces: the restructured lax.scan sweep
-    # (separate K=3 matmuls + pure min/argmin reductions) runs 4.5 ms vs
-    # 10.4 ms for the Pallas kernel (`ops/pallas_raster.py`), whose
-    # per-invocation overhead dominates at this grid granularity. The kernel
-    # stays available via `use_pallas=True` for larger rasters.
+def _use_pallas_default():
+    # Measured on v5e @ 240^2/4096 faces: the tile-culled Pallas sweep
+    # (`ops/pallas_raster.zbuffer_sweep_tiled`) only evaluates face chunks
+    # whose screen bbox overlaps each 16x16 pixel tile — typically <15% of
+    # the brute-force pixel/face pairs — and keeps the running z-min in
+    # VMEM. The lax.scan sweep (4.5 ms) materializes (P, C) candidates in
+    # HBM between steps; the untiled Pallas kernel (10.4 ms) is VPU-bound on
+    # the full P*F sweep. 'tiled' wins on TPU; the scan remains the
+    # CPU/fallback path.
+    try:
+        import jax.extend as jex
+
+        if jex.backend.get_backend().platform == "tpu":
+            return "tiled"
+    except Exception:
+        pass
     return False
 
 
@@ -115,8 +125,6 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas,
         F = compact_to
 
     if use_pallas:
-        from ..ops.pallas_raster import zbuffer_sweep
-
         face_data = jnp.concatenate(
             [
                 coef.reshape(F, 9),
@@ -126,12 +134,33 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas,
             ],
             axis=-1,
         )
-        zb, fid2d = zbuffer_sweep(face_data, h, w, chunk=chunk)
+        if use_pallas == "tiled":
+            from ..ops.pallas_raster import zbuffer_sweep_tiled
+
+            fuv = uv[faces]                                  # (F, 3, 2)
+            if perm is not None:
+                fuv = fuv[perm]
+            big = jnp.float32(_FAR)
+            bbox = jnp.concatenate(
+                [
+                    jnp.where(valid[:, None], jnp.min(fuv, axis=1), big),
+                    jnp.where(valid[:, None], jnp.max(fuv, axis=1), -big),
+                ],
+                axis=-1,
+            )  # (F, 4) [x0, y0, x1, y1]; empty when invalid
+            zb, fid2d = zbuffer_sweep_tiled(
+                face_data, bbox, h, w, chunk=chunk
+            )
+        else:
+            from ..ops.pallas_raster import zbuffer_sweep
+
+            zb, fid2d = zbuffer_sweep(face_data, h, w, chunk=chunk)
         best_z = zb.reshape(-1)
         best_fid = fid2d.reshape(-1)
         hit = best_fid >= 0
         fid_safe = jnp.where(hit, best_fid, 0)
-        bary = jnp.einsum("pc,pkc->pk", pix, coef[fid_safe])
+        bary = jnp.einsum("pc,pkc->pk", pix, coef[fid_safe],
+                          precision=jax.lax.Precision.HIGHEST)
         bary = jnp.where(hit[:, None], bary, 0.0)
         zout = jnp.where(hit, best_z, 0.0)
         best_fid = jnp.where(hit, best_fid, -1)
@@ -154,10 +183,14 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas,
         # affine depth. Kept as separate matmuls (no pack/reshape) so XLA can
         # fuse the inside-test + z-select + min-reduce into the matmul
         # epilogue instead of materializing (P, 4C) intermediates.
-        e0 = pix @ coef_c[:, 0, :].T                             # (P, C)
-        e1 = pix @ coef_c[:, 1, :].T
-        e2 = pix @ coef_c[:, 2, :].T
-        depth = pix @ zcoef_c.T                                  # (P, C)
+        # HIGHEST precision: TPU f32 matmuls default to bf16 passes, which
+        # corrupts the edge inside-tests (measured: 7.7% of pixels got the
+        # wrong face / z off by up to 0.8 at 240^2) — exact f32 is required.
+        hp = jax.lax.Precision.HIGHEST
+        e0 = jnp.matmul(pix, coef_c[:, 0, :].T, precision=hp)    # (P, C)
+        e1 = jnp.matmul(pix, coef_c[:, 1, :].T, precision=hp)
+        e2 = jnp.matmul(pix, coef_c[:, 2, :].T, precision=hp)
+        depth = jnp.matmul(pix, zcoef_c.T, precision=hp)         # (P, C)
         inside = (
             (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & valid_c[None, :]
         )
@@ -184,7 +217,8 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas,
     fid_safe = jnp.where(hit, best_fid, 0)
     # Recompute barycentrics for the winning face only (cheaper than carrying
     # them through the scan: (P, 3) vs (P, C, 3) carry traffic).
-    bary = jnp.einsum("pc,pkc->pk", pix, coef[fid_safe])         # (P, 3)
+    bary = jnp.einsum("pc,pkc->pk", pix, coef[fid_safe],
+                      precision=jax.lax.Precision.HIGHEST)   # (P, 3)
     bary = jnp.where(hit[:, None], bary, 0.0)
     zout = jnp.where(hit, best_z, 0.0)
     best_fid = jnp.where(hit, best_fid, -1)
@@ -227,7 +261,9 @@ def rasterize(
       Fragments with (B, H, W[, 3]) leaves. Not on the gradient path.
     """
     if use_pallas is None:
-        use_pallas = _use_pallas_default() and (h % 16 == 0)
+        use_pallas = _use_pallas_default()
+        if use_pallas == "tiled" and not (h % 16 == 0 and w % 16 == 0):
+            use_pallas = False
     if face_valid is None:
         # Treat degenerate all-same-index padding faces as invalid.
         face_valid = ~(
@@ -245,7 +281,13 @@ def rasterize(
             compact_to,
         )
 
-    fid, bary, zbuf = jax.vmap(one)(uv, z, face_keep)
+    if use_pallas == "tiled":
+        # Scalar-prefetch grids don't vmap; batch is a static Python loop
+        # (B is small — per-class batches), each instance its own kernel.
+        outs = [one(uv[b], z[b], face_keep[b]) for b in range(uv.shape[0])]
+        fid, bary, zbuf = (jnp.stack(x) for x in zip(*outs))
+    else:
+        fid, bary, zbuf = jax.vmap(one)(uv, z, face_keep)
     fid = jax.lax.stop_gradient(fid)
     bary = jax.lax.stop_gradient(bary)
     zbuf = jax.lax.stop_gradient(zbuf)

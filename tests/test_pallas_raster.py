@@ -42,3 +42,58 @@ def test_pallas_sweep_matches_scan(monkeypatch):
     np.testing.assert_array_equal(ref.face_id, out.face_id)
     np.testing.assert_allclose(ref.zbuf, out.zbuf, atol=1e-5)
     np.testing.assert_allclose(ref.bary, out.bary, atol=1e-5)
+
+
+def test_tiled_sweep_matches_scan(monkeypatch):
+    verts, faces, K, fv = _setup()
+    h = w = 64
+    ref = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas=False)
+
+    import rnnpose_tpu.ops.pallas_raster as PR
+
+    orig = PR.zbuffer_sweep_tiled
+
+    def interp_sweep(face_data, bbox, h, w, chunk=128, tile=16,
+                     min_depth=0.01):
+        return orig(face_data, bbox, h, w, chunk=chunk, tile=tile,
+                    min_depth=min_depth, interpret=True)
+
+    monkeypatch.setattr(PR, "zbuffer_sweep_tiled", interp_sweep)
+    out = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas="tiled")
+
+    np.testing.assert_array_equal(ref.face_id, out.face_id)
+    np.testing.assert_allclose(ref.zbuf, out.zbuf, atol=1e-5)
+    np.testing.assert_allclose(ref.bary, out.bary, atol=1e-5)
+
+
+def test_tiled_sweep_sparse_coverage_and_batch(monkeypatch):
+    """Culling path: object confined to a corner, most tiles empty; B=2."""
+    import rnnpose_tpu.ops.pallas_raster as PR
+
+    orig = PR.zbuffer_sweep_tiled
+
+    def interp_sweep(face_data, bbox, h, w, chunk=128, tile=16,
+                     min_depth=0.01):
+        return orig(face_data, bbox, h, w, chunk=chunk, tile=tile,
+                    min_depth=min_depth, interpret=True)
+
+    monkeypatch.setattr(PR, "zbuffer_sweep_tiled", interp_sweep)
+
+    m = make_icosphere(2, 0.06)
+    m = mesh_lib.pad_mesh(m, 256, 1024)
+    offs = jnp.asarray([[-0.15, -0.15, 0.9], [0.1, 0.12, 0.6]])
+    verts = jnp.asarray(m.verts)[None] + offs[:, None, :]
+    faces = jnp.asarray(m.faces)
+    K = jnp.asarray([[120.0, 120.0, 48.0, 48.0], [120.0, 120.0, 48.0, 48.0]])
+    fv = jnp.asarray(np.arange(1024) < m.num_faces)
+    h = w = 96
+
+    ref = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas=False)
+    out = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas="tiled")
+
+    # Both objects render partially off-center; every tile class is hit
+    # (empty, partial, full).
+    assert np.asarray(ref.face_id >= 0).mean() > 0.02
+    np.testing.assert_array_equal(ref.face_id, out.face_id)
+    np.testing.assert_allclose(ref.zbuf, out.zbuf, atol=1e-5)
+    np.testing.assert_allclose(ref.bary, out.bary, atol=1e-5)
