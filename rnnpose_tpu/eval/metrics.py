@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.knn import pairwise_sqdist
+from ..geometry.precise import peinsum
 
 __all__ = [
     "transform_pts",
@@ -34,7 +35,7 @@ __all__ = [
 
 def transform_pts(R: jnp.ndarray, t: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """(B,3,3), (B,3), (B,N,3) -> (B,N,3)."""
-    return jnp.einsum("bij,bnj->bni", R, pts) + t[:, None, :]
+    return peinsum("bij,bnj->bni", R, pts) + t[:, None, :]
 
 
 def add_error(R_pred, t_pred, R_gt, t_gt, pts, valid=None) -> jnp.ndarray:
@@ -98,6 +99,6 @@ def translation_error(t_pred, t_gt) -> jnp.ndarray:
 def rotation_error_deg(R_pred, R_gt) -> jnp.ndarray:
     """Geodesic rotation error in degrees via the chordal form
     (reference `utils/geometric.py:36-40`)."""
-    trace = jnp.einsum("bij,bij->b", R_pred, R_gt)
+    trace = peinsum("bij,bij->b", R_pred, R_gt)
     cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(cos))

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from . import se3 as se3_ops
 from . import projective as proj
+from .precise import peinsum
 
 __all__ = [
     "LMConfig",
@@ -127,7 +128,7 @@ def _lm_step(
     X1 = proj.transform_points(T, X0.reshape(B, -1, 3)).reshape(X0.shape)
     uv, j_proj = proj.project(X1, intrinsics[:, None, None, :], jacobian=True)
     j_tf = proj.local_perturb_jacobian(X1)             # (B, H, W, 3, 6)
-    J = jnp.einsum("...ij,...jk->...ik", j_proj, j_tf)  # (B, H, W, 2, 6)
+    J = peinsum("...ij,...jk->...ik", j_proj, j_tf)  # (B, H, W, 2, 6)
 
     r = target - uv                                     # (B, H, W, 2)
     w_all = weight * valid[..., None]                   # (B, H, W, 2)
@@ -138,8 +139,8 @@ def _lm_step(
     wf = w_all.reshape(B, -1)                           # (B, P*2)
     rf = r.reshape(B, -1)                               # (B, P*2)
     Jw = Jf * wf[..., None]
-    H = jnp.einsum("bpi,bpj->bij", Jw, Jf)              # (B, 6, 6)
-    b = jnp.einsum("bpi,bp->bi", Jw, rf)                # (B, 6)
+    H = peinsum("bpi,bpj->bij", Jw, Jf)                 # (B, 6, 6)
+    b = peinsum("bpi,bp->bi", Jw, rf)                   # (B, 6)
 
     eye = jnp.eye(6, dtype=H.dtype)
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+from .precise import peinsum
 
 __all__ = [
     "coords_grid",
@@ -127,8 +128,8 @@ def transform_points(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     if points.ndim == T.ndim:  # batched point sets
-        return jnp.einsum("...ij,...nj->...ni", R, points) + t[..., None, :]
-    return jnp.einsum("...ij,...j->...i", R, points) + t
+        return peinsum("...ij,...nj->...ni", R, points) + t[..., None, :]
+    return peinsum("...ij,...j->...i", R, points) + t
 
 
 def local_perturb_jacobian(points_transformed: jnp.ndarray) -> jnp.ndarray:

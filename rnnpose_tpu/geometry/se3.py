@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from .precise import pmatmul, peinsum
 
 __all__ = [
     "hat",
@@ -114,7 +115,7 @@ def so3_expm(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula: (..., 3) -> (..., 3, 3) rotation matrix."""
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = so3_hat(w)
-    W2 = W @ W
+    W2 = pmatmul(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + _A(theta2) * W + _B(theta2) * W2
 
@@ -130,11 +131,11 @@ def se3_expm(xi: jnp.ndarray) -> jnp.ndarray:
     v, w = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = so3_hat(w)
-    W2 = W @ W
+    W2 = pmatmul(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = eye + _A(theta2) * W + _B(theta2) * W2
     V = eye + _B(theta2) * W + _C(theta2) * W2
-    t = (V @ v[..., :, None])  # (..., 3, 1)
+    t = pmatmul(V, v[..., :, None])  # (..., 3, 1)
     top = jnp.concatenate([R, t], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=xi.dtype), top[..., :1, :].shape
@@ -168,7 +169,7 @@ def se3_logm(T: jnp.ndarray) -> jnp.ndarray:
     w = so3_logm(R)
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = so3_hat(w)
-    W2 = W @ W
+    W2 = pmatmul(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/t^2)(1 - A/(2B)) W^2
     coef = _taylor_switched(
@@ -177,7 +178,7 @@ def se3_logm(T: jnp.ndarray) -> jnp.ndarray:
         lambda t2: 1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0,
     )
     V_inv = eye - 0.5 * W + coef * W2
-    v = (V_inv @ t[..., :, None])[..., 0]
+    v = pmatmul(V_inv, t[..., :, None])[..., 0]
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -201,8 +202,10 @@ def _expm_ag_fwd(xi):
 
 def _expm_ag_bwd(T, g):
     # grad_k = sum_ij g_ij * (G_k @ T)_ij  for the 6 generators G_k.
-    GT = jnp.stack([hat(jnp.eye(6, dtype=T.dtype)[k]) @ T for k in range(6)], axis=0)
-    grad = jnp.einsum("...ij,k...ij->...k", g, GT)
+    GT = jnp.stack(
+        [pmatmul(hat(jnp.eye(6, dtype=T.dtype)[k]), T) for k in range(6)], axis=0
+    )
+    grad = peinsum("...ij,k...ij->...k", g, GT)
     return (grad,)
 
 
@@ -214,7 +217,7 @@ def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3:]
     Rt = jnp.swapaxes(R, -1, -2)
-    top = jnp.concatenate([Rt, -(Rt @ t)], axis=-1)
+    top = jnp.concatenate([Rt, -pmatmul(Rt, t)], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=T.dtype), top[..., :1, :].shape
     )
@@ -224,7 +227,7 @@ def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
 def se3_increment(T: jnp.ndarray, delta: jnp.ndarray, approx_grad: bool = False) -> jnp.ndarray:
     """Left-multiplicative update T <- exp(delta) @ T (reference se3.py:303-306)."""
     expm = se3_expm_approx_grad if approx_grad else se3_expm
-    return expm(delta) @ T
+    return pmatmul(expm(delta), T)
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ from ..ops.sampler import bilinear_sample
 from ..render.raster import rasterize, interpolate_attributes
 from ..render.shading import headlight_shade
 from .cfnet import GRUFlowStep, ImageFeaEncoder, downsample_flow, split_context
+from ..geometry.precise import peinsum, pmatmul
 
 __all__ = ["RefinerConfig", "MeshAssets", "RefinerOutputs", "PoseRefiner"]
 
@@ -301,7 +302,7 @@ class PoseRefiner(nn.Module):
         )(cfg, name="inner")
 
         for ren_iter in range(cfg.render_iters):
-            Ti = Tij @ Ti
+            Ti = pmatmul(Tij, Ti)
             Tij = jnp.broadcast_to(jnp.eye(4, dtype=Ti.dtype), Ti.shape)
             Ti_render = jax.lax.stop_gradient(Ti)
 
@@ -344,7 +345,7 @@ class PoseRefiner(nn.Module):
                 # equals interpolating then rotating (Phong-style shading,
                 # reference `diff_render_optim.py:201-244`).
                 R = jax.lax.stop_gradient(Ti_render[:, :3, :3])
-                attrs.append(jnp.einsum("bij,vj->bvi", R, mesh.normals))
+                attrs.append(peinsum("bij,vj->bvi", R, mesh.normals))
                 n_shade = 3
             face_keep = None
             compact_to = None
@@ -356,7 +357,7 @@ class PoseRefiner(nn.Module):
                 R = jax.lax.stop_gradient(Ti_render[:, :3, :3])
                 n_face = mesh.normals[mesh.faces].mean(axis=1)     # (F, 3)
                 c_face = mesh.verts[mesh.faces].mean(axis=1)       # (F, 3)
-                n_cam = jnp.einsum("bij,fj->bfi", R, n_face)
+                n_cam = peinsum("bij,fj->bfi", R, n_face)
                 c_cam = proj.transform_points(Ti_render, c_face[None])
                 dot = jnp.sum(n_cam * c_cam, axis=-1)
                 norm = jnp.linalg.norm(n_cam, axis=-1) * jnp.maximum(
@@ -453,7 +454,9 @@ class PoseRefiner(nn.Module):
             Ti_sg = jax.lax.stop_gradient(Ti)
             hist["Ti"] = jnp.broadcast_to(Ti_sg, (cfg.gru_iters,) + Ti.shape)
             if T_gt is not None:
-                Tij_gt = jax.lax.stop_gradient(T_gt @ se3_lib.se3_inverse(Ti_sg))
+                Tij_gt = jax.lax.stop_gradient(
+                    pmatmul(T_gt, se3_lib.se3_inverse(Ti_sg))
+                )
             else:
                 Tij_gt = jnp.broadcast_to(jnp.eye(4, dtype=Ti.dtype), Ti.shape)
             hist["Tij_gt"] = jnp.broadcast_to(
@@ -465,7 +468,7 @@ class PoseRefiner(nn.Module):
             all_hist.append(hist)
             syn_depths.append(syn_depth)
 
-        Ti = Tij @ Ti
+        Ti = pmatmul(Tij, Ti)
 
         cat = lambda key: jnp.concatenate([h[key] for h in all_hist], axis=0)
         return RefinerOutputs(

@@ -22,7 +22,8 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a2 = jnp.sum(a * a, axis=-1)[..., :, None]
     b2 = jnp.sum(b * b, axis=-1)[..., None, :]
     cross = jnp.einsum(
-        "...nd,...md->...nm", a, b, preferred_element_type=jnp.float32
+        "...nd,...md->...nm", a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact f32: mm-scale ADD-S
     )
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 

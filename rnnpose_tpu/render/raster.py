@@ -260,10 +260,6 @@ def rasterize(
     Returns:
       Fragments with (B, H, W[, 3]) leaves. Not on the gradient path.
     """
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
-        if use_pallas == "tiled" and not (h % 16 == 0 and w % 16 == 0):
-            use_pallas = False
     if face_valid is None:
         # Treat degenerate all-same-index padding faces as invalid.
         face_valid = ~(
@@ -275,19 +271,38 @@ def rasterize(
     if face_keep is None:
         face_keep = jnp.ones((uv.shape[0], faces.shape[0]), bool)
 
-    def one(uv_b, z_b, keep_b):
-        return _rasterize_single(
-            uv_b, z_b, faces, face_valid & keep_b, h, w, chunk, use_pallas,
-            compact_to,
-        )
+    def _run(mode):
+        def one(uv_b, z_b, keep_b):
+            return _rasterize_single(
+                uv_b, z_b, faces, face_valid & keep_b, h, w, chunk, mode,
+                compact_to,
+            )
 
-    if use_pallas == "tiled":
-        # Scalar-prefetch grids don't vmap; batch is a static Python loop
-        # (B is small — per-class batches), each instance its own kernel.
-        outs = [one(uv[b], z[b], face_keep[b]) for b in range(uv.shape[0])]
-        fid, bary, zbuf = (jnp.stack(x) for x in zip(*outs))
+        def call(uv, z, face_keep):
+            if mode == "tiled":
+                # Scalar-prefetch grids don't vmap; batch is a static Python
+                # loop (B is small — per-class batches).
+                outs = [
+                    one(uv[b], z[b], face_keep[b]) for b in range(uv.shape[0])
+                ]
+                return tuple(jnp.stack(x) for x in zip(*outs))
+            return jax.vmap(one)(uv, z, face_keep)
+
+        return call
+
+    if use_pallas is None and h % 16 == 0 and w % 16 == 0:
+        # Resolved per backend at lowering time: the Pallas kernel on TPU,
+        # the scan sweep everywhere else (incl. CPU devices inside a TPU
+        # process — `jax.default_device` does not change the default
+        # backend, so a process-global choice would crash there).
+        fid, bary, zbuf = jax.lax.platform_dependent(
+            uv, z, face_keep, tpu=_run("tiled"), default=_run(False)
+        )
     else:
-        fid, bary, zbuf = jax.vmap(one)(uv, z, face_keep)
+        mode = _use_pallas_default() if use_pallas is None else use_pallas
+        if mode == "tiled" and not (h % 16 == 0 and w % 16 == 0):
+            mode = False
+        fid, bary, zbuf = _run(mode)(uv, z, face_keep)
     fid = jax.lax.stop_gradient(fid)
     bary = jax.lax.stop_gradient(bary)
     zbuf = jax.lax.stop_gradient(zbuf)

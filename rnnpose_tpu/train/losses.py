@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..geometry import lm as lm_lib
 from ..models.refiner import EPS, RefinerOutputs
+from ..geometry.precise import peinsum, pmatmul
 
 __all__ = [
     "CircleLossConfig",
@@ -61,7 +62,7 @@ def _pairwise_dist(a, b):
     d2 = (
         jnp.sum(a * a, -1)[:, None]
         + jnp.sum(b * b, -1)[None, :]
-        - 2.0 * a @ b.T
+        - 2.0 * pmatmul(a, b.T)
     )
     return jnp.sqrt(jnp.maximum(d2, 1e-12))
 
@@ -147,9 +148,9 @@ def point_alignment_loss(
     """3D alignment: mean_|pred(X) - gt(X)| * 3 over batch
     (reference `losses.py:307-340`; summed over batch, x3 from the
     per-coordinate mean)."""
-    diff = jnp.einsum("bij,bnj->bni", R_pred, points) + t_pred[:, None, :]
+    diff = peinsum("bij,bnj->bni", R_pred, points) + t_pred[:, None, :]
     diff = diff - (
-        jnp.einsum("bij,bnj->bni", R_tgt, points) + t_tgt[:, None, :]
+        peinsum("bij,bnj->bni", R_tgt, points) + t_tgt[:, None, :]
     )
     a = jnp.abs(diff)
     if point_valid is not None:
@@ -217,8 +218,8 @@ def refiner_loss(
             valid[..., None]
             * jnp.clip(jnp.abs(flow_pred - flow_star), 0.0, MAX_ERROR)
         )
-        Tj_pred = Tij @ outs.Ti_history[i]
-        Tj_gt = Gij @ outs.Ti_history[i]
+        Tj_pred = pmatmul(Tij, outs.Ti_history[i])
+        Tj_gt = pmatmul(Gij, outs.Ti_history[i])
         l_3d = point_alignment_loss(
             Tj_pred[:, :3, :3], Tj_pred[:, :3, 3],
             Tj_gt[:, :3, :3], Tj_gt[:, :3, 3],
