@@ -105,11 +105,19 @@ def main():
         T_out = T_base
         t0 = time.perf_counter()
         for i in range(iters):
-            T_in = T_base + jitters[i] + 0.0 * T_out  # sequential dependency
+            # 1e-30 (not 0.0): a zero multiplier is foldable by XLA's
+            # simplifier, which would sever the sequential dependency and let
+            # the relay overlap frames across its backend pool.
+            T_in = T_base + jitters[i] + 1e-30 * T_out
             T_out = fwd(params, inputs, desc3d, ctx3d, T_in)
-        T_out.block_until_ready()
-        assert bool(jnp.isfinite(T_out).all()), "bench produced invalid poses"
-        return (time.perf_counter() - t0) / iters
+        # The host value read is the ONLY reliable sync through the relay:
+        # block_until_ready() returns before execution completes (measured
+        # 0.16 ms "latency" for a 227-GFLOP forward). It must sit inside the
+        # timing window.
+        finite = bool(jnp.isfinite(T_out).all())
+        dt = (time.perf_counter() - t0) / iters
+        assert finite, "bench produced invalid poses"
+        return dt
 
     # Asymptotic long-chain measurement: short chains are dominated by
     # startup/queueing through the relay (chain-10 reads ~2x slower per frame

@@ -41,7 +41,14 @@ from ..geometry import projective as proj
 from ..geometry import se3 as se3_lib
 from ..ops import corr as corr_ops
 from ..ops.sampler import bilinear_sample
-from ..render.raster import rasterize, interpolate_attributes
+from ..render.raster import (
+    Fragments,
+    compute_bary,
+    interpolate_attributes,
+    interpolate_attributes_onehot,
+    rasterize,
+    rasterize_with_vis_attrs,
+)
 from ..render.shading import headlight_shade
 from .cfnet import GRUFlowStep, ImageFeaEncoder, downsample_flow, split_context
 from ..geometry.precise import peinsum, pmatmul
@@ -368,12 +375,6 @@ class PoseRefiner(nn.Module):
                 compact_to = (
                     (F_total * 5 // 8) // cfg.raster_chunk * cfg.raster_chunk
                 )
-            frags = rasterize(
-                verts_cam, mesh.faces, K_crop, S, S,
-                face_valid=mesh.face_valid, chunk=cfg.raster_chunk,
-                face_keep=face_keep, compact_to=compact_to,
-            )
-            syn_depth = frags.zbuf  # detached by rasterize
             s8 = S // 8
             eighth = cfg.corr_weight_res == "eighth"
 
@@ -386,23 +387,60 @@ class PoseRefiner(nn.Module):
             # interpolation is kept for RGB(+normals) and, in the
             # reference-exact 'full' mode, for everything.
             vis_attrs = jnp.concatenate(attrs, axis=-1)  # colors [+ normals]
-            attr_vis = interpolate_attributes(frags, mesh.faces, vis_attrs)
-            syn_img = attr_vis[..., :3]
-            if n_shade:
-                syn_img = headlight_shade(syn_img, attr_vis[..., 3:])
-
             feat_list = [ctx_fea_3d]
             if use_geo:
                 feat_list.append(geofea_3d)
             feat_attrs = jnp.concatenate(feat_list, axis=-1)
             c_ctx = ctx_fea_3d.shape[-1]
-            if eighth:
-                frags_lr = frags.__class__(
-                    face_id=frags.face_id[:, 4::8, 4::8],
-                    bary=frags.bary[:, 4::8, 4::8],
-                    zbuf=frags.zbuf[:, 4::8, 4::8],
+
+            fused = eighth and face_keep is None and S % 16 == 0
+            if fused:
+                # Fused raster + vis-attr interpolation (one Pallas kernel on
+                # TPU): RGB(+normals) are mesh constants under a detached
+                # pose, so the full-res interpolation needs no gradient and
+                # no full-res barycentrics are ever materialized. The
+                # gradient-carrying feature interpolation happens only on the
+                # 1/8 grid via the one-hot matmul form.
+                attr_vis, syn_depth, fid = rasterize_with_vis_attrs(
+                    verts_cam, mesh.faces, K_crop, vis_attrs, S, S,
+                    face_valid=mesh.face_valid, chunk=cfg.raster_chunk,
                 )
-                feat_lr = interpolate_attributes(frags_lr, mesh.faces, feat_attrs)
+                fid_lr = fid[:, 4::8, 4::8]
+                gx = jnp.arange(s8, dtype=jnp.float32) * 8.0 + 4.0 + 0.5
+                pix_xy = jnp.stack(
+                    jnp.meshgrid(gx, gx, indexing="xy"), axis=-1
+                )  # (s8, s8, 2) absolute crop-pixel centers of the 4::8 grid
+                bary_lr = compute_bary(
+                    verts_cam, mesh.faces, K_crop, fid_lr, pix_xy,
+                    mesh.face_valid,
+                )
+                frags_lr = Fragments(
+                    face_id=fid_lr, bary=bary_lr,
+                    zbuf=syn_depth[:, 4::8, 4::8],
+                )
+            else:
+                frags = rasterize(
+                    verts_cam, mesh.faces, K_crop, S, S,
+                    face_valid=mesh.face_valid, chunk=cfg.raster_chunk,
+                    face_keep=face_keep, compact_to=compact_to,
+                )
+                syn_depth = frags.zbuf  # detached by rasterize
+                attr_vis = interpolate_attributes(frags, mesh.faces, vis_attrs)
+                if eighth:
+                    frags_lr = Fragments(
+                        face_id=frags.face_id[:, 4::8, 4::8],
+                        bary=frags.bary[:, 4::8, 4::8],
+                        zbuf=frags.zbuf[:, 4::8, 4::8],
+                    )
+
+            syn_img = attr_vis[..., :3]
+            if n_shade:
+                syn_img = headlight_shade(syn_img, attr_vis[..., 3:])
+
+            if eighth:
+                feat_lr = interpolate_attributes_onehot(
+                    frags_lr, mesh.faces, feat_attrs
+                )
                 cfea_lr = feat_lr[..., :c_ctx] * cfg.feature_scale
                 geofea1_lr = feat_lr[..., c_ctx:] if use_geo else None
                 cfea_for_ctx = cfea_lr

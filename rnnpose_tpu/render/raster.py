@@ -28,7 +28,14 @@ import jax.numpy as jnp
 
 from ..geometry import projective as proj
 
-__all__ = ["Fragments", "rasterize", "interpolate_attributes", "render_mesh_attributes"]
+__all__ = [
+    "Fragments",
+    "rasterize",
+    "rasterize_with_vis_attrs",
+    "interpolate_attributes",
+    "interpolate_attributes_onehot",
+    "render_mesh_attributes",
+]
 
 _FAR = 1e9
 _AREA_EPS = 1e-9
@@ -309,6 +316,166 @@ def rasterize(
     return Fragments(face_id=fid, bary=bary, zbuf=zbuf)
 
 
+def rasterize_with_vis_attrs(
+    verts_cam: jnp.ndarray,
+    faces: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    vis_attrs: jnp.ndarray,
+    h: int,
+    w: int,
+    face_valid: Optional[jnp.ndarray] = None,
+    chunk: int = 128,
+    use_pallas: Optional[bool] = None,
+):
+    """Rasterize and interpolate NON-differentiable vertex attributes fused.
+
+    On TPU the z-buffer resolve and the attribute interpolation run in one
+    Pallas kernel (`ops/pallas_raster.zbuffer_sweep_tiled_attrs`) — the
+    winner's edge coefficients and corner attributes are recovered with
+    exact one-hot matmuls, so the per-pixel `coef[fid]` / `attrs[faces][fid]`
+    gathers (the hottest op group at 240^2, ~4 ms/frame) never happen, and
+    full-resolution barycentrics are never materialized. Elsewhere it
+    lowers to `rasterize` + `interpolate_attributes`.
+
+    The whole result is stop-gradient — use for constant attributes only
+    (mesh RGB colors, camera-frame normals: the reference's texture render,
+    `diff_render_optim.py:201-244`). For attributes on the gradient path use
+    `interpolate_attributes[_onehot]` with the returned face ids (see
+    `compute_bary` for subgrid barycentrics).
+
+    Returns:
+      (attrs (B, h, w, D), zbuf (B, h, w) 0 where empty,
+       face_id (B, h, w) -1 where empty).
+    """
+    if face_valid is None:
+        face_valid = ~(
+            (faces[:, 0] == faces[:, 1]) & (faces[:, 1] == faces[:, 2])
+        )
+    uv, _ = proj.project(verts_cam, intrinsics[:, None, :])
+    z = verts_cam[..., 2]
+
+    def _prep_single(uv_b, z_b):
+        F = faces.shape[0]
+        edge_coef, zf, valid, area2 = _face_screen_data(
+            uv_b, z_b, faces, face_valid
+        )
+        inv_area = jnp.where(valid, 1.0 / jnp.where(valid, area2, 1.0), 0.0)
+        coef = edge_coef * inv_area[:, None, None]
+        zcoef = jnp.einsum("fkc,fk->fc", coef, zf)
+        face_data = jnp.concatenate(
+            [
+                coef.reshape(F, 9),
+                zcoef,
+                valid.astype(jnp.float32)[:, None],
+                jnp.zeros((F, 3), coef.dtype),
+            ],
+            axis=-1,
+        )
+        fuv = uv_b[faces]
+        big = jnp.float32(_FAR)
+        bbox = jnp.concatenate(
+            [
+                jnp.where(valid[:, None], jnp.min(fuv, axis=1), big),
+                jnp.where(valid[:, None], jnp.max(fuv, axis=1), -big),
+            ],
+            axis=-1,
+        )
+        return face_data, bbox
+
+    def _run_fused(uv, z, vis_attrs):
+        from ..ops.pallas_raster import zbuffer_sweep_tiled_attrs
+
+        outs = []
+        for b in range(uv.shape[0]):
+            face_data, bbox = _prep_single(uv[b], z[b])
+            corner_attrs = vis_attrs[b][faces]          # (F, 3, D)
+            zb, fid, attr = zbuffer_sweep_tiled_attrs(
+                face_data, bbox, corner_attrs, h, w, chunk=chunk
+            )
+            hit = fid >= 0
+            outs.append((
+                jnp.where(hit[..., None], attr, 0.0),
+                jnp.where(hit, zb, 0.0),
+                fid,
+            ))
+        return tuple(jnp.stack(x) for x in zip(*outs))
+
+    def _run_unfused(uv, z, vis_attrs):
+        keep = jnp.ones((uv.shape[0], faces.shape[0]), bool)
+        fid, bary, zbuf = jax.vmap(
+            lambda uv_b, z_b, k_b: _rasterize_single(
+                uv_b, z_b, faces, face_valid & k_b, h, w, chunk, False
+            )
+        )(uv, z, keep)
+        frags = Fragments(face_id=fid, bary=bary, zbuf=zbuf)
+        attr = interpolate_attributes(frags, faces, vis_attrs)
+        return attr, zbuf, fid
+
+    tiled_ok = h % 16 == 0 and w % 16 == 0
+    if use_pallas is None and tiled_ok:
+        attr, zbuf, fid = jax.lax.platform_dependent(
+            uv, z, vis_attrs, tpu=_run_fused, default=_run_unfused
+        )
+    elif use_pallas and tiled_ok:
+        attr, zbuf, fid = _run_fused(uv, z, vis_attrs)
+    else:
+        attr, zbuf, fid = _run_unfused(uv, z, vis_attrs)
+    return (
+        jax.lax.stop_gradient(attr),
+        jax.lax.stop_gradient(zbuf),
+        jax.lax.stop_gradient(fid),
+    )
+
+
+def compute_bary(
+    verts_cam: jnp.ndarray,
+    faces: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    fid: jnp.ndarray,
+    pix_xy: jnp.ndarray,
+    face_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Barycentric coordinates of given (face id, pixel center) pairs.
+
+    Used to recover barycentrics at a SUBGRID of a fused rasterization
+    (`rasterize_with_vis_attrs` does not materialize full-res barycentrics).
+    The gather is (P', 3, 3) — negligible for a 1/8 grid.
+
+    Args:
+      fid: (B, h', w') winning face ids (-1 background).
+      pix_xy: (h', w', 2) absolute pixel-center coordinates in the raster
+        frame the faces were rasterized in.
+    Returns:
+      (B, h', w', 3), zeros at background.
+    """
+    if face_valid is None:
+        face_valid = ~(
+            (faces[:, 0] == faces[:, 1]) & (faces[:, 1] == faces[:, 2])
+        )
+    uv, _ = proj.project(verts_cam, intrinsics[:, None, :])
+    z = verts_cam[..., 2]
+    hp, wp = fid.shape[1], fid.shape[2]
+    pix = jnp.concatenate(
+        [pix_xy.reshape(-1, 2), jnp.ones((hp * wp, 1), uv.dtype)], axis=-1
+    )
+
+    def one(uv_b, z_b, fid_b):
+        edge_coef, zf, valid, area2 = _face_screen_data(
+            uv_b, z_b, faces, face_valid
+        )
+        inv_area = jnp.where(valid, 1.0 / jnp.where(valid, area2, 1.0), 0.0)
+        coef = edge_coef * inv_area[:, None, None]
+        hit = fid_b.reshape(-1) >= 0
+        safe = jnp.where(hit, fid_b.reshape(-1), 0)
+        bary = jnp.einsum(
+            "pc,pkc->pk", pix, coef[safe],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.where(hit[:, None], bary, 0.0).reshape(hp, wp, 3)
+
+    return jax.lax.stop_gradient(jax.vmap(one)(uv, z, fid))
+
+
 def interpolate_attributes(
     fragments: Fragments,
     faces: jnp.ndarray,
@@ -341,6 +508,41 @@ def interpolate_attributes(
     return jax.vmap(one)(
         vert_attrs, fid_safe, fragments.bary, hit.astype(vert_attrs.dtype)
     )
+
+
+def interpolate_attributes_onehot(
+    fragments: Fragments,
+    faces: jnp.ndarray,
+    vert_attrs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Attribute interpolation as a bary-weighted one-hot matmul.
+
+    Same semantics (and gradients) as `interpolate_attributes`, but shaped
+    for the MXU: builds M (P, V) with M[p, v] = sum_k bary_k [corner_k = v]
+    and contracts M @ attrs. Forward AND backward (dattrs = M^T @ g) are
+    single matmuls — no (F, 3, D) intermediate, no scatter in the VJP (the
+    gather form's backward is a scatter-add, pathological on TPU).
+
+    Use when P*V is small enough to hold M (e.g. the 1/8 feature grid:
+    900 x 2048 = 7 MB); prefer the gather form for full-res rasters.
+    """
+    B, hp, wp = fragments.face_id.shape
+    V = vert_attrs.shape[1]
+    fid = fragments.face_id.reshape(B, -1)
+    hit = fid >= 0
+    safe = jnp.where(hit, fid, 0)
+    corner = faces[safe]                                  # (B, P, 3) int32
+    bary = fragments.bary.reshape(B, -1, 3) * hit[..., None]
+    iota = jnp.arange(V, dtype=corner.dtype)
+    # (B, P, 3, V) compare fuses into the reduce; M never hits HBM at (.., 3, V).
+    M = jnp.sum(
+        jnp.where(corner[..., None] == iota, bary[..., None], 0.0), axis=2
+    )                                                     # (B, P, V)
+    out = jnp.einsum(
+        "bpv,bvd->bpd", M, vert_attrs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(B, hp, wp, vert_attrs.shape[-1])
 
 
 def render_mesh_attributes(

@@ -97,3 +97,78 @@ def test_tiled_sweep_sparse_coverage_and_batch(monkeypatch):
     np.testing.assert_array_equal(ref.face_id, out.face_id)
     np.testing.assert_allclose(ref.zbuf, out.zbuf, atol=1e-5)
     np.testing.assert_allclose(ref.bary, out.bary, atol=1e-5)
+
+
+def test_tiled_attrs_fused_matches_unfused(monkeypatch):
+    """Fused raster+attr kernel == scan raster + gather interpolation."""
+    import rnnpose_tpu.ops.pallas_raster as PR
+    from rnnpose_tpu.render.raster import (
+        interpolate_attributes,
+        rasterize_with_vis_attrs,
+    )
+
+    orig = PR.zbuffer_sweep_tiled_attrs
+
+    def interp_sweep(face_data, bbox, corner_attrs, h, w, chunk=128,
+                     tile=16, min_depth=0.01):
+        return orig(face_data, bbox, corner_attrs, h, w, chunk=chunk,
+                    tile=tile, min_depth=min_depth, interpret=True)
+
+    monkeypatch.setattr(PR, "zbuffer_sweep_tiled_attrs", interp_sweep)
+
+    verts, faces, K, fv = _setup()
+    h = w = 64
+    rs = np.random.RandomState(3)
+    attrs = jnp.asarray(rs.randn(1, verts.shape[1], 6).astype(np.float32))
+
+    ref_frags = rasterize(verts, faces, K, h, w, fv, chunk=128,
+                          use_pallas=False)
+    ref_attr = interpolate_attributes(ref_frags, faces, attrs)
+
+    attr, zbuf, fid = rasterize_with_vis_attrs(
+        verts, faces, K, attrs, h, w, fv, chunk=128, use_pallas=True
+    )
+    np.testing.assert_array_equal(ref_frags.face_id, fid)
+    np.testing.assert_allclose(ref_frags.zbuf, zbuf, atol=1e-5)
+    np.testing.assert_allclose(ref_attr, attr, atol=1e-4)
+    assert np.asarray(fid >= 0).mean() > 0.05
+
+
+def test_compute_bary_matches_full_raster():
+    from rnnpose_tpu.render.raster import compute_bary
+
+    verts, faces, K, fv = _setup()
+    h = w = 64
+    frags = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas=False)
+    fid_lr = frags.face_id[:, 4::8, 4::8]
+    gx = jnp.arange(8, dtype=jnp.float32) * 8.0 + 4.0 + 0.5
+    pix = jnp.stack(jnp.meshgrid(gx, gx, indexing="xy"), axis=-1)
+    bary = compute_bary(verts, faces, K, fid_lr, pix, fv)
+    np.testing.assert_allclose(frags.bary[:, 4::8, 4::8], bary, atol=1e-5)
+
+
+def test_interpolate_attributes_onehot_matches_gather():
+    from rnnpose_tpu.render.raster import (
+        interpolate_attributes,
+        interpolate_attributes_onehot,
+    )
+
+    verts, faces, K, fv = _setup()
+    h = w = 32
+    rs = np.random.RandomState(5)
+    attrs = jnp.asarray(rs.randn(1, verts.shape[1], 13).astype(np.float32))
+    frags = rasterize(verts, faces, K, h, w, fv, chunk=128, use_pallas=False)
+
+    ref = interpolate_attributes(frags, faces, attrs)
+    out = interpolate_attributes_onehot(frags, faces, attrs)
+    np.testing.assert_allclose(ref, out, atol=1e-5)
+
+    # Gradients w.r.t. the attributes match too (the one-hot form's VJP is a
+    # matmul instead of a scatter-add).
+    g_ref = jax.grad(
+        lambda a: jnp.sum(interpolate_attributes(frags, faces, a) ** 2)
+    )(attrs)
+    g_out = jax.grad(
+        lambda a: jnp.sum(interpolate_attributes_onehot(frags, faces, a) ** 2)
+    )(attrs)
+    np.testing.assert_allclose(g_ref, g_out, atol=1e-4)
