@@ -40,7 +40,7 @@ from ..geometry import lm as lm_lib
 from ..geometry import projective as proj
 from ..geometry import se3 as se3_lib
 from ..ops import corr as corr_ops
-from ..ops.sampler import bilinear_sample
+from ..ops.sampler import bilinear_sample, separable_crop_sample
 from ..render.raster import (
     Fragments,
     compute_bary,
@@ -452,8 +452,7 @@ class PoseRefiner(nn.Module):
                 cfea_for_ctx = cfea_crop
 
             # Observed crop + warped 2D descriptor crop (reference 287-291).
-            src_coords = crop_lib.crop_source_coords(crop_params, S)
-            image_crop = bilinear_sample(image, src_coords)
+            image_crop = separable_crop_sample(image, crop_params, S)
 
             # Image features + correlation pyramid, built once per render iter
             # (reference 311, `CFNet.py:115-122` update_corr_fn=(i==0)).
@@ -475,12 +474,15 @@ class PoseRefiner(nn.Module):
                 # Descriptor similarity evaluated on the 1/8 grid: the 2D
                 # descriptor crop is sampled directly at the coarse grid and
                 # the rendered 3D descriptors interpolated there.
-                src_coords_lr = crop_lib.crop_source_coords(crop_params, s8)
-                inv["geofea2_lr"] = bilinear_sample(geofea_2d, src_coords_lr)
+                inv["geofea2_lr"] = separable_crop_sample(
+                    geofea_2d, crop_params, s8
+                )
                 inv["geofea1_lr"] = geofea1_lr
             elif use_geo:
                 inv["geofea1"] = geofea1
-                inv["geofea2_crop"] = bilinear_sample(geofea_2d, src_coords)
+                inv["geofea2_crop"] = separable_crop_sample(
+                    geofea_2d, crop_params, S
+                )
             elif cfg.with_corr_weight:
                 raise ValueError(
                     "with_corr_weight requires geofea_2d/geofea_3d inputs"

@@ -18,14 +18,16 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.upsample import upsample2x_bilinear
 from .raft import InstanceNorm
 
 __all__ = ["SuperPoint2D"]
 
 
 def _upsample2x(x):
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "bilinear")
+    # Fixed-stencil 2x bilinear (== jax.image.resize, without the dense
+    # interpolation-matrix dot_generals; see ops/upsample.upsample2x_bilinear).
+    return upsample2x_bilinear(x)
 
 
 class SuperPoint2D(nn.Module):

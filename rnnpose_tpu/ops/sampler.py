@@ -11,9 +11,14 @@ zero-padding outside the image, matching the reference's
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["bilinear_sample", "bilinear_sample_nchw"]
+__all__ = [
+    "bilinear_sample",
+    "bilinear_sample_nchw",
+    "separable_crop_sample",
+]
 
 
 def bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -65,3 +70,43 @@ def bilinear_sample_nchw(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
     (B, C, H', W')."""
     out = bilinear_sample(jnp.moveaxis(image, 1, -1), coords)
     return jnp.moveaxis(out, -1, 1)
+
+
+def separable_crop_sample(
+    image: jnp.ndarray, crop_params: jnp.ndarray, out_size: int
+) -> jnp.ndarray:
+    """Axis-aligned zoom-crop resample as two 1-D bilinear matmuls.
+
+    For a square crop window (`geometry/crop.crop_source_coords`) the source
+    x coordinate depends only on the output column and y only on the row, so
+    bilinear sampling factorizes into row/column tent-weight matrices
+    contracted on the MXU — replacing 4 per-pixel gathers at crop resolution
+    (take_along_axis was ~1.2 ms/frame of the eval forward in device traces).
+
+    The tent weight relu(1 - |src - j|) reproduces `bilinear_sample`'s
+    zero-padding semantics exactly: out-of-range taps simply have no column
+    to land on, contributing 0.
+
+    Args:
+      image: (B, H, W, C).
+      crop_params: (B, 3) [cx, cy, half] (see `geometry/crop`).
+      out_size: output side length S.
+    Returns:
+      (B, S, S, C) == bilinear_sample(image, crop_source_coords(...)).
+    """
+    B, H, W, C = image.shape
+    f32 = jnp.float32
+    s = (2.0 * crop_params[..., 2]) / out_size            # (B,)
+    origin = crop_params[..., :2] - crop_params[..., 2:3]  # (B, 2) [x, y]
+    r = jnp.arange(out_size, dtype=f32)
+    sx = r[None, :] * s[:, None] + origin[:, 0:1]          # (B, S)
+    sy = r[None, :] * s[:, None] + origin[:, 1:2]
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(sx[..., None] - jnp.arange(W, dtype=f32))
+    ).astype(image.dtype)                                  # (B, S, W)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(sy[..., None] - jnp.arange(H, dtype=f32))
+    ).astype(image.dtype)                                  # (B, S, H)
+    hp = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("biy,byxc->bixc", wy, image, precision=hp)
+    return jnp.einsum("bjx,bixc->bijc", wx, tmp, precision=hp)

@@ -77,6 +77,24 @@ def _face_screen_data(uv, z, faces, face_valid):
     return edge_coef, zf, valid, area2
 
 
+def _pick_tile(h: int, w: int, chunk: int) -> Optional[int]:
+    """Kernel pixel tile for the raster sweep.
+
+    16 wins at the production operating point: the zoom crop makes the
+    object fill most of the raster, so finer tiles cull face chunks much
+    better than they pay in per-invocation overhead (full-model bench:
+    77.1 fps @16 vs 70.8 @24 vs 66.9 @40). Larger tiles only win for
+    sparse coverage (object small in frame). RNNPOSE_RASTER_TILE overrides
+    for experiments; VMEM bounds the (tile^2, chunk) working set."""
+    import os
+
+    pref = os.environ.get("RNNPOSE_RASTER_TILE")
+    for t in ((int(pref),) if pref else (16,)):
+        if h % t == 0 and w % t == 0 and t * t * chunk * 4 * 6 <= 8 << 20:
+            return t
+    return None
+
+
 def _use_pallas_default():
     # Measured on v5e @ 240^2/4096 faces: the tile-culled Pallas sweep
     # (`ops/pallas_raster.zbuffer_sweep_tiled`) only evaluates face chunks
@@ -156,7 +174,8 @@ def _rasterize_single(uv, z, faces, face_valid, h, w, chunk, use_pallas,
                 axis=-1,
             )  # (F, 4) [x0, y0, x1, y1]; empty when invalid
             zb, fid2d = zbuffer_sweep_tiled(
-                face_data, bbox, h, w, chunk=chunk
+                face_data, bbox, h, w, chunk=chunk,
+                tile=_pick_tile(h, w, chunk) or 16,
             )
         else:
             from ..ops.pallas_raster import zbuffer_sweep
@@ -297,7 +316,7 @@ def rasterize(
 
         return call
 
-    if use_pallas is None and h % 16 == 0 and w % 16 == 0:
+    if use_pallas is None and _pick_tile(h, w, chunk) is not None:
         # Resolved per backend at lowering time: the Pallas kernel on TPU,
         # the scan sweep everywhere else (incl. CPU devices inside a TPU
         # process — `jax.default_device` does not change the default
@@ -307,7 +326,7 @@ def rasterize(
         )
     else:
         mode = _use_pallas_default() if use_pallas is None else use_pallas
-        if mode == "tiled" and not (h % 16 == 0 and w % 16 == 0):
+        if mode == "tiled" and _pick_tile(h, w, chunk) is None:
             mode = False
         fid, bary, zbuf = _run(mode)(uv, z, face_keep)
     fid = jax.lax.stop_gradient(fid)
@@ -390,7 +409,8 @@ def rasterize_with_vis_attrs(
             face_data, bbox = _prep_single(uv[b], z[b])
             corner_attrs = vis_attrs[b][faces]          # (F, 3, D)
             zb, fid, attr = zbuffer_sweep_tiled_attrs(
-                face_data, bbox, corner_attrs, h, w, chunk=chunk
+                face_data, bbox, corner_attrs, h, w, chunk=chunk,
+                tile=_pick_tile(h, w, chunk) or 16,
             )
             hit = fid >= 0
             outs.append((
@@ -411,7 +431,7 @@ def rasterize_with_vis_attrs(
         attr = interpolate_attributes(frags, faces, vis_attrs)
         return attr, zbuf, fid
 
-    tiled_ok = h % 16 == 0 and w % 16 == 0
+    tiled_ok = _pick_tile(h, w, chunk) is not None
     if use_pallas is None and tiled_ok:
         attr, zbuf, fid = jax.lax.platform_dependent(
             uv, z, vis_attrs, tpu=_run_fused, default=_run_unfused

@@ -172,3 +172,52 @@ def test_interpolate_attributes_onehot_matches_gather():
         lambda a: jnp.sum(interpolate_attributes_onehot(frags, faces, a) ** 2)
     )(attrs)
     np.testing.assert_allclose(g_ref, g_out, atol=1e-4)
+
+
+@pytest.mark.parametrize("tile,hw", [(24, 48), (32, 64), (40, 80)])
+def test_tiled_sweep_larger_tiles(tile, hw):
+    """Larger kernel tiles (adaptive `_pick_tile`) match the scan sweep."""
+    from rnnpose_tpu.ops.pallas_raster import zbuffer_sweep_tiled_attrs
+    from rnnpose_tpu.render.raster import (
+        _face_screen_data,
+        interpolate_attributes,
+    )
+
+    verts, faces, K_, fv = _setup()
+    K2 = jnp.asarray([[1.6 * hw, 1.6 * hw, hw / 2.0, hw / 2.0]])
+    h = w = hw
+    rs = np.random.RandomState(7)
+    attrs = jnp.asarray(rs.randn(1, verts.shape[1], 5).astype(np.float32))
+
+    ref_frags = rasterize(verts, faces, K2, h, w, fv, chunk=128,
+                          use_pallas=False)
+    ref_attr = interpolate_attributes(ref_frags, faces, attrs)
+
+    from rnnpose_tpu.geometry import projective as proj
+
+    uv, _ = proj.project(verts, K2[:, None, :])
+    z = verts[..., 2]
+    edge_coef, zf, valid, area2 = _face_screen_data(uv[0], z[0], faces, fv)
+    inv_area = jnp.where(valid, 1.0 / jnp.where(valid, area2, 1.0), 0.0)
+    coef = edge_coef * inv_area[:, None, None]
+    zcoef = jnp.einsum("fkc,fk->fc", coef, zf)
+    F = faces.shape[0]
+    fd = jnp.concatenate(
+        [coef.reshape(F, 9), zcoef, valid.astype(jnp.float32)[:, None],
+         jnp.zeros((F, 3))], -1)
+    fuv = uv[0][faces]
+    big = jnp.float32(1e9)
+    bbox = jnp.concatenate(
+        [jnp.where(valid[:, None], jnp.min(fuv, 1), big),
+         jnp.where(valid[:, None], jnp.max(fuv, 1), -big)], -1)
+    corner = attrs[0][faces]
+    zb, fid, attr = zbuffer_sweep_tiled_attrs(
+        fd, bbox, corner, h, w, chunk=128, tile=tile, interpret=True)
+
+    assert np.asarray(ref_frags.face_id[0] >= 0).mean() > 0.02
+    np.testing.assert_array_equal(ref_frags.face_id[0], fid)
+    hit = np.asarray(fid) >= 0
+    np.testing.assert_allclose(
+        np.asarray(ref_frags.zbuf[0])[hit], np.asarray(zb)[hit], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref_attr[0])[hit], np.asarray(attr)[hit], atol=1e-4)
