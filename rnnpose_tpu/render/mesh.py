@@ -193,10 +193,41 @@ def decimate_mesh(mesh: TriMesh, max_faces: int, seed: int = 0) -> TriMesh:
                    mesh.num_verts, max_faces)
 
 
+def _morton_face_order(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Spatial (Morton/Z-curve) ordering of faces by centroid.
+
+    The Pallas raster kernel culls and revisits faces in fixed chunks; with
+    spatially-coherent face ids, each chunk's screen bbox is tight and the
+    winners in a pixel tile span a narrow id range — both the bbox-culling
+    sweep and the attribute second pass visit far fewer chunks. Subdivision
+    or file order typically scatters nearby faces across the id space.
+    """
+    if len(faces) == 0:
+        return np.arange(0, dtype=np.int64)
+    cent = verts[faces].mean(axis=1)
+    mn, mx = cent.min(0), cent.max(0)
+    q = ((cent - mn) / np.maximum(mx - mn, 1e-9) * 1023.0).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint32(0x030000FF)
+        x = (x | (x << 8)) & np.uint32(0x0300F00F)
+        x = (x | (x << 4)) & np.uint32(0x030C30C3)
+        x = (x | (x << 2)) & np.uint32(0x09249249)
+        return x
+
+    code = (
+        (spread(q[:, 0]).astype(np.uint64) << 2)
+        | (spread(q[:, 1]).astype(np.uint64) << 1)
+        | spread(q[:, 2]).astype(np.uint64)
+    )
+    return np.argsort(code, kind="stable")
+
+
 def pad_mesh(mesh: TriMesh, num_verts: int, num_faces: int) -> TriMesh:
     """Pad to static sizes. Padded faces are degenerate (all-zero index) and
     point at vertex 0; padded verts sit at the origin. If the vertex budget
-    truncates the mesh, faces referencing dropped vertices are removed."""
+    truncates the mesh, faces referencing dropped vertices are removed.
+    Real faces are re-ordered along a Morton curve (see `_morton_face_order`)."""
     v = np.zeros((num_verts, 3), np.float32)
     c = np.zeros((num_verts, 3), np.float32)
     f = np.zeros((num_faces, 3), np.int32)
@@ -205,6 +236,7 @@ def pad_mesh(mesh: TriMesh, num_verts: int, num_faces: int) -> TriMesh:
     c[:nv] = mesh.vert_colors[:nv]
     faces_ok = mesh.faces[: mesh.num_faces]
     faces_ok = faces_ok[(faces_ok < nv).all(axis=1)]
+    faces_ok = faces_ok[_morton_face_order(v, faces_ok)]
     nf = min(len(faces_ok), num_faces)
     f[:nf] = faces_ok[:nf]
     return TriMesh(v, f, c, nv, nf)
