@@ -1,2 +1,3 @@
-"""Evaluation: pose metrics and the per-class evaluator."""
-from .evaluator import PoseEvaluator, SYMMETRIC_CLASSES  # noqa: F401
+"""Evaluation: pose metrics, per-class evaluators, ICP refinement."""
+from .evaluator import PoseEvaluator, SYMMETRIC_CLASSES, YCBEvaluator  # noqa: F401
+from .icp import icp_refine  # noqa: F401

@@ -22,7 +22,7 @@ import numpy as np
 
 from . import metrics as M
 
-__all__ = ["SYMMETRIC_CLASSES", "PoseEvaluator"]
+__all__ = ["SYMMETRIC_CLASSES", "PoseEvaluator", "YCBEvaluator"]
 
 SYMMETRIC_CLASSES = ("eggbox", "glue")  # reference `utils/eval_metric.py:329-336`
 
@@ -36,8 +36,11 @@ class PoseEvaluator:
       diameter: object diameter in the model unit (reference uses cm/100).
       model_points: (N, 3) model points for ADD computation.
       point_valid: optional (N,) validity mask for padded points.
-      icp_refine: placeholder for the reference's dormant ICP hook
-        (`eval_metric.py:99-100,201-259`), unsupported.
+      icp_refine: run TPU-native trimmed ICP (`eval/icp.py`) against the
+        depth-lifted scene cloud before computing metrics — the working
+        equivalent of the reference's dormant Open3D hook
+        (`eval_metric.py:99-100,201-259`). Requires `scene_points` to be
+        passed to `evaluate`.
     """
 
     class_name: str
@@ -45,11 +48,16 @@ class PoseEvaluator:
     model_points: np.ndarray
     point_valid: Optional[np.ndarray] = None
     icp_refine: bool = False
+    icp_iters: int = 10
+    icp_max_corr_dist: float = 0.02
+    symmetric_override: Optional[bool] = None  # None -> by class table
 
     def __post_init__(self):
-        if self.icp_refine:
-            raise NotImplementedError("ICP refinement is dormant in the reference too")
-        self.symmetric = self.class_name in SYMMETRIC_CLASSES
+        self.symmetric = (
+            self.symmetric_override
+            if self.symmetric_override is not None
+            else self.class_name in SYMMETRIC_CLASSES
+        )
         self._records: List[Dict[str, float]] = []
         pts = jnp.asarray(self.model_points)[None]
         vv = (
@@ -71,8 +79,48 @@ class PoseEvaluator:
 
         self._compute = _compute
 
-    def evaluate(self, T_pred: np.ndarray, T_gt: np.ndarray, K: np.ndarray):
-        """Accumulate one (batched) prediction. T_*: (B, 4, 4), K: (B, 4)."""
+    def evaluate(
+        self,
+        T_pred: np.ndarray,
+        T_gt: np.ndarray,
+        K: np.ndarray,
+        scene_points: Optional[np.ndarray] = None,
+        scene_valid: Optional[np.ndarray] = None,
+    ):
+        """Accumulate one (batched) prediction. T_*: (B, 4, 4), K: (B, 4).
+
+        scene_points: (B, M, 3) camera-frame depth-lifted points — consumed
+        only with `icp_refine=True`."""
+        if self.icp_refine:
+            if scene_points is None:
+                raise ValueError("icp_refine=True needs scene_points")
+            from .icp import icp_refine
+
+            T_pred = np.asarray(
+                icp_refine(
+                    jnp.asarray(T_pred),
+                    jnp.broadcast_to(
+                        jnp.asarray(self.model_points)[None],
+                        (len(T_pred),) + self.model_points.shape,
+                    ),
+                    jnp.asarray(scene_points),
+                    model_valid=(
+                        jnp.broadcast_to(
+                            jnp.asarray(self.point_valid)[None],
+                            (len(T_pred),) + self.point_valid.shape,
+                        )
+                        if self.point_valid is not None
+                        else None
+                    ),
+                    scene_valid=(
+                        jnp.asarray(scene_valid)
+                        if scene_valid is not None
+                        else None
+                    ),
+                    num_iters=self.icp_iters,
+                    max_corr_dist=self.icp_max_corr_dist,
+                )
+            )
         add, adds, proj, terr, rerr = map(
             np.asarray,
             self._compute(jnp.asarray(T_pred), jnp.asarray(T_gt), jnp.asarray(K)),
@@ -90,6 +138,8 @@ class PoseEvaluator:
                     "trans_err": float(terr[b]),
                     "rot_err_deg": float(rerr[b]),
                     "add_dist": d,
+                    "add_dist_raw": float(add[b]),
+                    "adds_dist_raw": float(adds[b]),
                 }
             )
 
@@ -107,3 +157,43 @@ class PoseEvaluator:
 
     def reset(self):
         self._records.clear()
+
+
+@dataclasses.dataclass
+class YCBEvaluator(PoseEvaluator):
+    """YCB-Video protocol on top of `PoseEvaluator`.
+
+    The reference ships the BOP-YCB class tables (`data/ycb/basic.py:2-26`)
+    but its `YCBEvaluator` is commented out (`utils/eval_metric.py:361+`);
+    this is the working equivalent. Differences from LINEMOD:
+
+      * symmetric set = the five YCB symmetric objects (`data/ycb.py`);
+      * `summarize()` adds the community-standard PoseCNN AUC metrics —
+        area under the accuracy/threshold curve for thresholds 0..0.1 m,
+        which per sample is clip(1 - d / 0.1, 0, 1) — for both ADD and
+        ADD-S, plus ADD-S < 2 cm.
+    """
+
+    auc_max_m: float = 0.1
+
+    def __post_init__(self):
+        from ..data.ycb import YCB_SYMMETRIC
+
+        if self.symmetric_override is None:
+            self.symmetric_override = self.class_name in YCB_SYMMETRIC
+        super().__post_init__()
+
+    def summarize(self) -> Dict[str, float]:
+        out = super().summarize()
+        if not self._records:
+            return out
+        add = np.asarray([r["add_dist_raw"] for r in self._records])
+        adds = np.asarray([r["adds_dist_raw"] for r in self._records])
+        out["add_auc"] = float(
+            np.mean(np.clip(1.0 - add / self.auc_max_m, 0.0, 1.0))
+        )
+        out["adds_auc"] = float(
+            np.mean(np.clip(1.0 - adds / self.auc_max_m, 0.0, 1.0))
+        )
+        out["adds2cm"] = float(np.mean(adds < 0.02))
+        return out

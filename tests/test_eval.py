@@ -133,3 +133,92 @@ def test_weighted_reduce_metrics():
     out = weighted_reduce_metrics([a, b])
     np.testing.assert_allclose(out["add01"], 0.75)
     assert out["seq_len"] == 4
+
+
+def test_icp_refine_recovers_perturbation(rng):
+    """ICP pulls a perturbed pose back onto a synthetic scene cloud."""
+    import jax.numpy as jnp
+    from rnnpose_tpu.eval.icp import icp_refine
+    from rnnpose_tpu.geometry import se3 as se3_lib
+
+    n = 400
+    pts = rng.randn(1, n, 3).astype(np.float32) * 0.05
+    T_gt = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+    T_gt[0, :3, 3] = [0.02, -0.01, 0.6]
+    scene = (pts[0] @ T_gt[0, :3, :3].T + T_gt[0, :3, 3])[None]
+
+    xi = jnp.asarray([[0.004, -0.003, 0.005, 0.02, -0.015, 0.01]], jnp.float32)
+    T0 = np.asarray(se3_lib.se3_increment(jnp.asarray(T_gt), xi))
+
+    T_ref = np.asarray(
+        icp_refine(jnp.asarray(T0), jnp.asarray(pts), jnp.asarray(scene),
+                   num_iters=15, max_corr_dist=0.05)
+    )
+    err0 = np.abs(T0 - T_gt).max()
+    err1 = np.abs(T_ref - T_gt).max()
+    assert err1 < err0 * 0.2, (err0, err1)
+
+
+def test_icp_refine_ignores_padding(rng):
+    import jax.numpy as jnp
+    from rnnpose_tpu.eval.icp import icp_refine
+
+    pts = rng.randn(1, 100, 3).astype(np.float32) * 0.05
+    scene = pts + np.asarray([0.0, 0.0, 0.5], np.float32)
+    # Poison the padded halves; masks must exclude them.
+    mpts = np.concatenate([pts, np.full((1, 50, 3), 77.0, np.float32)], 1)
+    spts = np.concatenate([scene, np.full((1, 60, 3), -55.0, np.float32)], 1)
+    mval = np.concatenate([np.ones((1, 100)), np.zeros((1, 50))], 1)
+    sval = np.concatenate([np.ones((1, 100)), np.zeros((1, 60))], 1)
+    T0 = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+    T0[0, 2, 3] = 0.48  # 2 cm off along z
+    T = np.asarray(
+        icp_refine(jnp.asarray(T0), jnp.asarray(mpts), jnp.asarray(spts),
+                   model_valid=jnp.asarray(mval), scene_valid=jnp.asarray(sval),
+                   num_iters=10, max_corr_dist=0.05)
+    )
+    assert abs(T[0, 2, 3] - 0.5) < 1e-3
+    assert np.abs(T[0, :3, :3] - np.eye(3)).max() < 1e-3
+
+
+def test_evaluator_icp_improves_add(rng):
+    from rnnpose_tpu.eval.evaluator import PoseEvaluator
+
+    pts = rng.randn(300, 3).astype(np.float32) * 0.04
+    T_gt = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+    T_gt[0, :3, 3] = [0.0, 0.0, 0.55]
+    scene = (pts @ T_gt[0, :3, :3].T + T_gt[0, :3, 3])[None]
+    T0 = T_gt.copy()
+    T0[0, 0, 3] += 0.01  # 1 cm x error
+    K = np.asarray([[280.0, 280.0, 120.0, 120.0]], np.float32)
+
+    plain = PoseEvaluator("cat", 0.15, pts)
+    plain.evaluate(T0, T_gt, K)
+    with_icp = PoseEvaluator("cat", 0.15, pts, icp_refine=True, icp_iters=12,
+                             icp_max_corr_dist=0.05)
+    with_icp.evaluate(T0, T_gt, K, scene_points=scene)
+    assert with_icp.summarize()["add_dist"] < plain.summarize()["add_dist"] * 0.2
+
+
+def test_ycb_evaluator_auc_and_symmetry(rng):
+    from rnnpose_tpu.eval.evaluator import YCBEvaluator
+
+    pts = rng.randn(200, 3).astype(np.float32) * 0.04
+    T_gt = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    T_gt[:, 2, 3] = 0.6
+    T_pred = T_gt.copy()
+    T_pred[0, 0, 3] += 0.01   # 1 cm error
+    T_pred[1, 0, 3] += 0.25   # beyond the 0.1 m AUC range
+    K = np.tile(np.asarray([[280.0, 280.0, 120.0, 120.0]], np.float32), (2, 1))
+
+    ev = YCBEvaluator("024_bowl", 0.16, pts)
+    assert ev.symmetric  # YCB symmetric table, not the LINEMOD one
+    ev.evaluate(T_pred, T_gt, K)
+    s = ev.summarize()
+    # sample 0: ~1 cm -> auc contribution ~0.9; sample 1: clipped to 0.
+    assert 0.40 < s["adds_auc"] < 0.50
+    assert s["adds2cm"] == 0.5
+    assert "add_auc" in s
+
+    ev2 = YCBEvaluator("011_banana", 0.2, pts)
+    assert not ev2.symmetric
