@@ -358,6 +358,9 @@ class LinemodSynRealDataset(Dataset):
             "T_init": pose_padding(RT_init),
             "corr": corr,
             "assets": assets,
+            # Cropped depth (m) + crop intrinsics ride along for consumers
+            # outside the jitted graph (e.g. eval-time ICP refinement).
+            "depth": depth_c.astype(np.float32),
         }
 
 

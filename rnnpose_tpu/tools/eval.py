@@ -26,6 +26,13 @@ def parse_args(argv=None):
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--dump_poses", type=str, default=None,
                    help="npz path for predicted poses (reference dumps .npy)")
+    p.add_argument("--icp", action="store_true",
+                   help="TPU-native ICP refinement against the depth cloud "
+                        "(the reference ships this hook dormant)")
+    p.add_argument("--icp_iters", type=int, default=10)
+    p.add_argument("--icp_corr_dist", type=float, default=0.02)
+    p.add_argument("--icp_points", type=int, default=1024,
+                   help="scene-cloud budget (padded static shape)")
     return p.parse_args(argv)
 
 
@@ -130,7 +137,7 @@ def main(argv=None):
         )
         frames = [(jax.tree.map(jnp.asarray, inputs), "synthetic", 0.12,
                    np.asarray(inputs.model_points[0]),
-                   np.asarray(inputs.point_valid[0]))]
+                   np.asarray(inputs.point_valid[0]), None)]
     else:
         from ..data.linemod import LinemodSynRealDataset, collate_samples
         from ..data.linemod_config import diameter_m
@@ -162,6 +169,7 @@ def main(argv=None):
                     diameter_m(cls),
                     assets.model_points,
                     assets.point_valid,
+                    s if args.icp else None,
                 )
 
         frames = frame_gen()
@@ -175,7 +183,7 @@ def main(argv=None):
     poses_out = []
     t_total, n_frames = 0.0, 0
     bar = ProgressBar()
-    for inputs, cls, diameter, model_points, point_valid in frames:
+    for inputs, cls, diameter, model_points, point_valid, raw in frames:
         if params is None:
             params = jax.jit(lambda k: model.init(k, inputs, train=False))(
                 jax.random.PRNGKey(0)
@@ -199,6 +207,9 @@ def main(argv=None):
                 cls, diameter,
                 model_points[point_valid > 0]
                 if point_valid is not None else model_points,
+                icp_refine=args.icp,
+                icp_iters=args.icp_iters,
+                icp_max_corr_dist=args.icp_corr_dist,
             )
         desc3d, ctx3d = cache[cls]
         t0 = time.perf_counter()
@@ -206,9 +217,33 @@ def main(argv=None):
         T_pred.block_until_ready()
         t_total += time.perf_counter() - t0
         n_frames += 1
+        scene_kw = {}
+        if args.icp:
+            from ..data import preprocess as prep
+
+            depth = raw["depth"]
+            K4 = np.asarray(raw["intrinsics"])
+            K33 = np.asarray(
+                [[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1]], np.float32
+            )
+            pts_cam, _ = prep.mask_depth_to_points(depth, K33)
+            m = args.icp_points
+            if len(pts_cam) > m:
+                sel = np.linspace(0, len(pts_cam) - 1, m).astype(np.int64)
+                pts_cam = pts_cam[sel]
+            pad = m - len(pts_cam)
+            valid = np.concatenate(
+                [np.ones(len(pts_cam)), np.zeros(pad)]
+            ).astype(np.float32)
+            pts_cam = np.concatenate(
+                [pts_cam, np.zeros((pad, 3), np.float32)]
+            )
+            scene_kw = dict(
+                scene_points=pts_cam[None], scene_valid=valid[None]
+            )
         evaluators[cls].evaluate(
             np.asarray(T_pred), np.asarray(inputs.T_gt),
-            np.asarray(inputs.intrinsics),
+            np.asarray(inputs.intrinsics), **scene_kw,
         )
         if args.dump_poses:
             poses_out.append(np.asarray(T_pred))

@@ -117,3 +117,12 @@ def test_train_and_eval_cli_on_linemod_fixture(small_config, tmp_path, monkeypat
     ])
     assert overall["seq_len"] == 2
     assert "add01" in overall
+
+    # same checkpoint with TPU-native ICP against the fixture's depth maps
+    overall_icp = eval_main([
+        "--config_path", small_config, "--ckpt_path", ckpt,
+        "--max_frames", "2", "--icp", "--icp_iters", "5",
+        "--icp_corr_dist", "0.05", "--icp_points", "256",
+    ])
+    assert overall_icp["seq_len"] == 2
+    assert np.isfinite(overall_icp["add_dist"])
