@@ -44,10 +44,13 @@ class SuperPoint2D(nn.Module):
     input_dim: int = 3
     score_normalization: str = "sigmoid"
     normalize_output: bool = True
+    mixed_precision: bool = True   # bf16 conv compute, f32 params/heads —
+                                   # same policy as the refiner encoder/GRU
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """image: (B, H, W, 3) -> (scores (B, H, W, 1), desc (B, H, W, D))."""
+        dt = jnp.bfloat16 if self.mixed_precision else None
         x = image
         if self.input_dim == 1:
             x = jnp.mean(x, axis=-1, keepdims=True)
@@ -55,23 +58,23 @@ class SuperPoint2D(nn.Module):
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
         skips = []
         for i, ch in enumerate((c1, c2, c3, c4)):
-            x = nn.relu(nn.Conv(ch, (3, 3), name=f"conv{i + 1}a")(x))
-            x = nn.relu(nn.Conv(ch, (3, 3), name=f"conv{i + 1}b")(x))
+            x = nn.relu(nn.Conv(ch, (3, 3), dtype=dt, name=f"conv{i + 1}a")(x))
+            x = nn.relu(nn.Conv(ch, (3, 3), dtype=dt, name=f"conv{i + 1}b")(x))
             if i < 3:
                 skips.append(x)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         # Decoder: upsample -> conv -> norm -> relu; concat encoder skips
         # (1/4 then 1/2 res), reference `descriptor2D.py:71-88,134-141`.
-        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), name="decode1")(_upsample2x(x))))
+        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), dtype=dt, name="decode1")(_upsample2x(x))))
         x = jnp.concatenate([x, skips[2]], axis=-1)
-        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), name="decode2")(_upsample2x(x))))
+        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), dtype=dt, name="decode2")(_upsample2x(x))))
         x = jnp.concatenate([x, skips[1]], axis=-1)
-        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), name="decode3")(_upsample2x(x))))
+        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), dtype=dt, name="decode3")(_upsample2x(x))))
 
         # Saliency head.
-        pa = nn.relu(InstanceNorm()(nn.Conv(c5, (3, 3), name="convPa")(x)))
-        scores = nn.Conv(1, (1, 1), name="convPb")(pa)
+        pa = nn.relu(InstanceNorm()(nn.Conv(c5, (3, 3), dtype=dt, name="convPa")(x)))
+        scores = nn.Conv(1, (1, 1), name="convPb")(pa.astype(jnp.float32))
         if self.score_normalization == "sigmoid":
             scores = nn.sigmoid(scores)
         elif self.score_normalization == "softmax":
@@ -80,9 +83,11 @@ class SuperPoint2D(nn.Module):
         else:
             raise ValueError(self.score_normalization)
 
-        # Descriptor head.
-        da = nn.relu(nn.Conv(c5, (3, 3), name="convDa")(x))
-        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(da)
+        # Descriptor head (f32: descriptors feed L2-normalized similarity).
+        da = nn.relu(nn.Conv(c5, (3, 3), dtype=dt, name="convDa")(x))
+        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(
+            da.astype(jnp.float32)
+        )
         if self.normalize_output:
             desc = desc / jnp.maximum(
                 jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
