@@ -35,7 +35,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["zbuffer_sweep", "zbuffer_sweep_tiled", "zbuffer_sweep_tiled_attrs"]
+__all__ = [
+    "zbuffer_sweep",
+    "zbuffer_sweep_tiled",
+    "zbuffer_sweep_tiled_attrs",
+    "zbuffer_sweep_tiled_attrs_batched",
+]
 
 _FAR = 1e9
 
@@ -535,5 +540,204 @@ def zbuffer_sweep_tiled_attrs(
         at.reshape(h_tiles, w_tiles, tile, tile, dpad)
         .transpose(0, 2, 1, 3, 4)
         .reshape(h, w, dpad)[..., :D]
+    )
+    return untile(zt), untile(ft), attrs
+
+
+def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_ref, attr_ref,
+                                z_ref, fid_ref, out_ref, *,
+                                tile: int, w_tiles: int, chunk: int,
+                                dpad: int, min_depth: float):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    ty = t // w_tiles
+    tx = t % w_tiles
+
+    n = tile * tile
+    lin = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    x = (lin % tile + tx * tile).astype(jnp.float32) + 0.5
+    y = (lin // tile + ty * tile).astype(jnp.float32) + 0.5
+
+    def body(j, carry):
+        best_z, best_f = carry
+        cid = ids_ref[b, t, j]
+        fd = face_ref[0, cid]                                # (16, chunk)
+        e0 = x * fd[0:1, :] + y * fd[1:2, :] + fd[2:3, :]
+        e1 = x * fd[3:4, :] + y * fd[4:5, :] + fd[5:6, :]
+        e2 = x * fd[6:7, :] + y * fd[7:8, :] + fd[8:9, :]
+        depth = x * fd[9:10, :] + y * fd[10:11, :] + fd[11:12, :]
+        ok = (
+            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            & (depth > min_depth) & (fd[12:13, :] > 0.0)
+        )
+        zcand = jnp.where(ok, depth, _FAR)
+        local_z = jnp.min(zcand, axis=1, keepdims=True)
+        local_a = jnp.argmin(zcand, axis=1).astype(jnp.int32)[:, None]
+        take = local_z < best_z
+        best_z = jnp.where(take, local_z, best_z)
+        best_f = jnp.where(take, cid * chunk + local_a, best_f)
+        return best_z, best_f
+
+    init = (
+        jnp.full((n, 1), _FAR, jnp.float32),
+        jnp.full((n, 1), -1, jnp.int32),
+    )
+    best_z, best_f = jax.lax.fori_loop(0, counts_ref[b, t], body, init)
+    best_f = jnp.where(best_z < _FAR, best_f, -1)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    hp = jax.lax.Precision.HIGHEST
+
+    def body2(j, acc):
+        cid = ids_ref[b, t, j]
+        coef_acc, c0_acc, c1_acc, c2_acc = acc
+        fd = face_ref[0, cid]
+        ad = attr_ref[0, cid]                                # (3, dpad, chunk)
+        onehot = (best_f == cid * chunk + col).astype(jnp.float32)
+        coef_acc = coef_acc + jax.lax.dot_general(
+            onehot, fd[0:9, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+        c0_acc = c0_acc + jax.lax.dot_general(
+            onehot, ad[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+        c1_acc = c1_acc + jax.lax.dot_general(
+            onehot, ad[1], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+        c2_acc = c2_acc + jax.lax.dot_general(
+            onehot, ad[2], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+        return coef_acc, c0_acc, c1_acc, c2_acc
+
+    coef9, c0, c1, c2 = jax.lax.fori_loop(
+        0, counts_ref[b, t], body2,
+        (
+            jnp.zeros((n, 9), jnp.float32),
+            jnp.zeros((n, dpad), jnp.float32),
+            jnp.zeros((n, dpad), jnp.float32),
+            jnp.zeros((n, dpad), jnp.float32),
+        ),
+    )
+    b0 = x * coef9[:, 0:1] + y * coef9[:, 1:2] + coef9[:, 2:3]
+    b1 = x * coef9[:, 3:4] + y * coef9[:, 4:5] + coef9[:, 5:6]
+    b2 = x * coef9[:, 6:7] + y * coef9[:, 7:8] + coef9[:, 8:9]
+    attr = b0 * c0 + b1 * c1 + b2 * c2
+
+    z_ref[:] = best_z.reshape(1, 1, tile, tile)
+    fid_ref[:] = best_f.reshape(1, 1, tile, tile)
+    out_ref[:] = attr.reshape(1, 1, tile, tile, dpad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "chunk", "tile", "min_depth", "interpret"),
+)
+def zbuffer_sweep_tiled_attrs_batched(
+    face_data: jnp.ndarray,
+    bbox: jnp.ndarray,
+    corner_attrs: jnp.ndarray,
+    h: int,
+    w: int,
+    chunk: int = 128,
+    tile: int = 16,
+    min_depth: float = 0.01,
+    interpret: bool = False,
+):
+    """Batched `zbuffer_sweep_tiled_attrs`: one kernel over a (B, tiles)
+    grid instead of B serial kernel launches (the scalar-prefetch grid does
+    not vmap; at B=8 the per-launch overhead dominated the raster cost).
+
+    Args: as the unbatched version but with a leading batch axis:
+      face_data (B, F, 16), bbox (B, F, 4), corner_attrs (B, F, 3, D).
+    Returns:
+      (zbuf (B, h, w), face_id (B, h, w), attrs (B, h, w, D)).
+    """
+    B, F = face_data.shape[:2]
+    D = corner_attrs.shape[-1]
+    assert F % chunk == 0 and h % tile == 0 and w % tile == 0
+    nc = F // chunk
+    h_tiles, w_tiles = h // tile, w // tile
+    T = h_tiles * w_tiles
+    dpad = max(8, -(-D // 8) * 8)
+
+    tyx = jnp.arange(T, dtype=jnp.int32)
+    tx0 = (tyx % w_tiles * tile).astype(jnp.float32) + 0.5
+    ty0 = (tyx // w_tiles * tile).astype(jnp.float32) + 0.5
+    tx1 = tx0 + (tile - 1)
+    ty1 = ty0 + (tile - 1)
+    overlap = (
+        (bbox[:, None, :, 0] <= tx1[None, :, None])
+        & (bbox[:, None, :, 2] >= tx0[None, :, None])
+        & (bbox[:, None, :, 1] <= ty1[None, :, None])
+        & (bbox[:, None, :, 3] >= ty0[None, :, None])
+    )                                                        # (B, T, F)
+    chunk_hit = jnp.any(overlap.reshape(B, T, nc, chunk), axis=-1)
+    counts = jnp.sum(chunk_hit, axis=-1).astype(jnp.int32)   # (B, T)
+    ids = jnp.argsort(~chunk_hit, axis=-1, stable=True).astype(jnp.int32)
+
+    face_vmem = face_data.reshape(B, nc, chunk, 16).transpose(0, 1, 3, 2)
+    attr_pad = jnp.pad(corner_attrs, ((0, 0), (0, 0), (0, 0), (0, dpad - D)))
+    attr_vmem = (
+        attr_pad.reshape(B, nc, chunk, 3, dpad).transpose(0, 1, 3, 4, 2)
+    )  # (B, nc, 3, dpad, chunk)
+
+    kernel = functools.partial(
+        _tiled_attrs_kernel_batched, tile=tile, w_tiles=w_tiles, chunk=chunk,
+        dpad=dpad, min_depth=min_depth,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nc, 16, chunk), lambda b, t, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nc, 3, dpad, chunk), lambda b, t, *_: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, tile, tile), lambda b, t, *_: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile, tile), lambda b, t, *_: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile, tile, dpad), lambda b, t, *_: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    zt, ft, at = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, tile, tile), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, tile, tile), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, tile, tile, dpad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ids, counts, face_vmem, attr_vmem)
+
+    def untile(a):
+        return (
+            a.reshape(B, h_tiles, w_tiles, tile, tile)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, h, w)
+        )
+
+    attrs = (
+        at.reshape(B, h_tiles, w_tiles, tile, tile, dpad)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, h, w, dpad)[..., :D]
     )
     return untile(zt), untile(ft), attrs

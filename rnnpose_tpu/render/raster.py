@@ -402,23 +402,22 @@ def rasterize_with_vis_attrs(
         return face_data, bbox
 
     def _run_fused(uv, z, vis_attrs):
-        from ..ops.pallas_raster import zbuffer_sweep_tiled_attrs
+        from ..ops.pallas_raster import zbuffer_sweep_tiled_attrs_batched
 
-        outs = []
-        for b in range(uv.shape[0]):
-            face_data, bbox = _prep_single(uv[b], z[b])
-            corner_attrs = vis_attrs[b][faces]          # (F, 3, D)
-            zb, fid, attr = zbuffer_sweep_tiled_attrs(
-                face_data, bbox, corner_attrs, h, w, chunk=chunk,
-                tile=_pick_tile(h, w, chunk) or 16,
-            )
-            hit = fid >= 0
-            outs.append((
-                jnp.where(hit[..., None], attr, 0.0),
-                jnp.where(hit, zb, 0.0),
-                fid,
-            ))
-        return tuple(jnp.stack(x) for x in zip(*outs))
+        face_data, bbox = jax.vmap(_prep_single)(uv, z)
+        corner_attrs = jax.vmap(lambda a: a[faces])(vis_attrs)  # (B, F, 3, D)
+        # One kernel over a (B, tiles) grid — B serial scalar-prefetch
+        # launches dominated the raster cost at batch 8.
+        zb, fid, attr = zbuffer_sweep_tiled_attrs_batched(
+            face_data, bbox, corner_attrs, h, w, chunk=chunk,
+            tile=_pick_tile(h, w, chunk) or 16,
+        )
+        hit = fid >= 0
+        return (
+            jnp.where(hit[..., None], attr, 0.0),
+            jnp.where(hit, zb, 0.0),
+            fid,
+        )
 
     def _run_unfused(uv, z, vis_attrs):
         keep = jnp.ones((uv.shape[0], faces.shape[0]), bool)

@@ -107,19 +107,23 @@ def test_tiled_attrs_fused_matches_unfused(monkeypatch):
         rasterize_with_vis_attrs,
     )
 
-    orig = PR.zbuffer_sweep_tiled_attrs
+    orig = PR.zbuffer_sweep_tiled_attrs_batched
 
     def interp_sweep(face_data, bbox, corner_attrs, h, w, chunk=128,
                      tile=16, min_depth=0.01):
         return orig(face_data, bbox, corner_attrs, h, w, chunk=chunk,
                     tile=tile, min_depth=min_depth, interpret=True)
 
-    monkeypatch.setattr(PR, "zbuffer_sweep_tiled_attrs", interp_sweep)
+    monkeypatch.setattr(PR, "zbuffer_sweep_tiled_attrs_batched", interp_sweep)
 
-    verts, faces, K, fv = _setup()
+    verts1, faces, K1, fv = _setup()
+    # B=2 with different poses: exercises the batched (B, tiles) kernel grid.
+    offs = jnp.asarray([[0.0, 0.0, 0.0], [0.08, -0.05, 0.15]])
+    verts = jnp.concatenate([verts1, verts1 + offs[1]], axis=0)
+    K = jnp.concatenate([K1, K1], axis=0)
     h = w = 64
     rs = np.random.RandomState(3)
-    attrs = jnp.asarray(rs.randn(1, verts.shape[1], 6).astype(np.float32))
+    attrs = jnp.asarray(rs.randn(2, verts.shape[1], 6).astype(np.float32))
 
     ref_frags = rasterize(verts, faces, K, h, w, fv, chunk=128,
                           use_pallas=False)
