@@ -12,7 +12,7 @@ loader in `models/convert.py` mirrors that.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,41 @@ def _upsample2x(x):
     # Fixed-stencil 2x bilinear (== jax.image.resize, without the dense
     # interpolation-matrix dot_generals; see ops/upsample.upsample2x_bilinear).
     return upsample2x_bilinear(x)
+
+
+class _ConcatConv(nn.Module):
+    """3x3 'SAME' conv over concat([a, b]) without materializing the concat.
+
+    conv(concat(a, b), K) == conv(a, K[:, :, :ca]) + conv(b, K[:, :, ca:])
+    by linearity — the (B, H, W, ca+cb) concatenated tensor (a pure HBM
+    copy, ~6.6 ms/step at B=8 in device traces) never exists. The param
+    tree ({kernel (3, 3, ca+cb, out), bias}) is identical to `nn.Conv`, so
+    reference-checkpoint conversion is unchanged.
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, ca + cb, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        dt = self.dtype or a.dtype
+
+        def conv(inp, k):
+            return jax.lax.conv_general_dilated(
+                inp.astype(dt), k.astype(dt), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(a, kernel[:, :, :ca]) + conv(b, kernel[:, :, ca:])
+        return y + bias.astype(y.dtype)
 
 
 class SuperPoint2D(nn.Module):
@@ -67,14 +102,18 @@ class SuperPoint2D(nn.Module):
         # Decoder: upsample -> conv -> norm -> relu; concat encoder skips
         # (1/4 then 1/2 res), reference `descriptor2D.py:71-88,134-141`.
         x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), dtype=dt, name="decode1")(_upsample2x(x))))
-        x = jnp.concatenate([x, skips[2]], axis=-1)
-        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), dtype=dt, name="decode2")(_upsample2x(x))))
-        x = jnp.concatenate([x, skips[1]], axis=-1)
-        x = nn.relu(InstanceNorm()(nn.Conv(c4, (3, 3), dtype=dt, name="decode3")(_upsample2x(x))))
+        # upsample commutes with concat (per-channel), so feed the decode
+        # convs the two halves separately (`_ConcatConv`).
+        x = nn.relu(InstanceNorm()(_ConcatConv(c4, dtype=dt, name="decode2")(
+            _upsample2x(x), _upsample2x(skips[2]))))
+        x = nn.relu(InstanceNorm()(_ConcatConv(c4, dtype=dt, name="decode3")(
+            _upsample2x(x), _upsample2x(skips[1]))))
 
         # Saliency head.
         pa = nn.relu(InstanceNorm()(nn.Conv(c5, (3, 3), dtype=dt, name="convPa")(x)))
-        scores = nn.Conv(1, (1, 1), name="convPb")(pa.astype(jnp.float32))
+        scores = nn.Conv(1, (1, 1), dtype=dt, name="convPb")(pa).astype(
+            jnp.float32
+        )
         if self.score_normalization == "sigmoid":
             scores = nn.sigmoid(scores)
         elif self.score_normalization == "softmax":
@@ -83,11 +122,11 @@ class SuperPoint2D(nn.Module):
         else:
             raise ValueError(self.score_normalization)
 
-        # Descriptor head (f32: descriptors feed L2-normalized similarity).
+        # Descriptor head; the L2 normalization below runs in f32.
         da = nn.relu(nn.Conv(c5, (3, 3), dtype=dt, name="convDa")(x))
-        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(
-            da.astype(jnp.float32)
-        )
+        desc = nn.Conv(self.descriptor_dim, (1, 1), dtype=dt, name="convDb")(
+            da
+        ).astype(jnp.float32)
         if self.normalize_output:
             desc = desc / jnp.maximum(
                 jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
