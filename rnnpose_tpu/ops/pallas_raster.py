@@ -544,10 +544,11 @@ def zbuffer_sweep_tiled_attrs(
     return untile(zt), untile(ft), attrs
 
 
-def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_ref, attr_ref,
-                                z_ref, fid_ref, out_ref, *,
+def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_mxu_ref, face_ref,
+                                attr_ref, z_ref, fid_ref, out_ref, *,
                                 tile: int, w_tiles: int, chunk: int,
-                                dpad: int, min_depth: float):
+                                dpad: int, min_depth: float,
+                                mxu_sweep: bool):
     b = pl.program_id(0)
     t = pl.program_id(1)
     ty = t // w_tiles
@@ -557,18 +558,39 @@ def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_ref, attr_ref,
     lin = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     x = (lin % tile + tx * tile).astype(jnp.float32) + 0.5
     y = (lin // tile + ty * tile).astype(jnp.float32) + 0.5
+    hp0 = jax.lax.Precision.HIGHEST
+    if mxu_sweep:
+        pixh = jnp.concatenate([x, y, jnp.ones_like(x)], axis=1)  # (n, 3)
 
     def body(j, carry):
         best_z, best_f = carry
         cid = ids_ref[b, t, j]
-        fd = face_ref[0, cid]                                # (16, chunk)
-        e0 = x * fd[0:1, :] + y * fd[1:2, :] + fd[2:3, :]
-        e1 = x * fd[3:4, :] + y * fd[4:5, :] + fd[5:6, :]
-        e2 = x * fd[6:7, :] + y * fd[7:8, :] + fd[8:9, :]
-        depth = x * fd[9:10, :] + y * fd[10:11, :] + fd[11:12, :]
+        if mxu_sweep:
+            # All four affine functionals of the chunk's faces at all tile
+            # pixels as ONE exact-f32 MXU contraction (K=3): replaces ~12
+            # VPU broadcast-fma chains over (n, chunk) — the sweep was
+            # VPU-bound.
+            W = face_mxu_ref[0, cid]                         # (4, 4*chunk)
+            out = jax.lax.dot_general(
+                pixh, W[0:3],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hp0,
+            )                                                # (n, 4*chunk)
+            e0 = out[:, :chunk]
+            e1 = out[:, chunk:2 * chunk]
+            e2 = out[:, 2 * chunk:3 * chunk]
+            depth = out[:, 3 * chunk:]
+            vrow = W[3:4, :chunk]
+        else:
+            fd = face_ref[0, cid]                            # (16, chunk)
+            e0 = x * fd[0:1, :] + y * fd[1:2, :] + fd[2:3, :]
+            e1 = x * fd[3:4, :] + y * fd[4:5, :] + fd[5:6, :]
+            e2 = x * fd[6:7, :] + y * fd[7:8, :] + fd[8:9, :]
+            depth = x * fd[9:10, :] + y * fd[10:11, :] + fd[11:12, :]
+            vrow = fd[12:13, :]
         ok = (
             (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-            & (depth > min_depth) & (fd[12:13, :] > 0.0)
+            & (depth > min_depth) & (vrow > 0.0)
         )
         zcand = jnp.where(ok, depth, _FAR)
         local_z = jnp.min(zcand, axis=1, keepdims=True)
@@ -680,19 +702,48 @@ def zbuffer_sweep_tiled_attrs_batched(
     ids = jnp.argsort(~chunk_hit, axis=-1, stable=True).astype(jnp.int32)
 
     face_vmem = face_data.reshape(B, nc, chunk, 16).transpose(0, 1, 3, 2)
+    # MXU sweep layout: rows are the x / y / 1 coefficients of the four
+    # affine functionals [e0 | e1 | e2 | depth], row 3 carries validity.
+    fdc = face_data.reshape(B, nc, chunk, 16)
+    face_mxu = jnp.stack(
+        [
+            jnp.concatenate(
+                [fdc[..., 0], fdc[..., 3], fdc[..., 6], fdc[..., 9]], -1
+            ),
+            jnp.concatenate(
+                [fdc[..., 1], fdc[..., 4], fdc[..., 7], fdc[..., 10]], -1
+            ),
+            jnp.concatenate(
+                [fdc[..., 2], fdc[..., 5], fdc[..., 8], fdc[..., 11]], -1
+            ),
+            jnp.tile(fdc[..., 12], (1, 1, 4)),
+        ],
+        axis=2,
+    )  # (B, nc, 4, 4*chunk)
     attr_pad = jnp.pad(corner_attrs, ((0, 0), (0, 0), (0, 0), (0, dpad - D)))
     attr_vmem = (
         attr_pad.reshape(B, nc, chunk, 3, dpad).transpose(0, 1, 3, 4, 2)
     )  # (B, nc, 3, dpad, chunk)
 
+    import os
+
+    # Measured full-model at B=8: VPU fma chains 124.1 fps vs MXU 108.9 —
+    # the K=3 exact-f32 contraction (6 MXU passes at HIGHEST) loses to the
+    # broadcast-fma sweep. The MXU variant stays selectable for future
+    # hardware where the trade-off may flip.
+    mxu_sweep = os.environ.get("RNNPOSE_RASTER_SWEEP", "vpu") == "mxu"
     kernel = functools.partial(
         _tiled_attrs_kernel_batched, tile=tile, w_tiles=w_tiles, chunk=chunk,
-        dpad=dpad, min_depth=min_depth,
+        dpad=dpad, min_depth=min_depth, mxu_sweep=mxu_sweep,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, T),
         in_specs=[
+            pl.BlockSpec(
+                (1, nc, 4, 4 * chunk), lambda b, t, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, nc, 16, chunk), lambda b, t, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -726,7 +777,7 @@ def zbuffer_sweep_tiled_attrs_batched(
             jax.ShapeDtypeStruct((B, T, tile, tile, dpad), jnp.float32),
         ),
         interpret=interpret,
-    )(ids, counts, face_vmem, attr_vmem)
+    )(ids, counts, face_mxu, face_vmem, attr_vmem)
 
     def untile(a):
         return (
