@@ -11,12 +11,17 @@ path — the reference detaches depth and poses into the renderer
 z-buffer resolve can be computed without autodiff bookkeeping, and the
 attribute interpolation is a plain gather + weighted sum.
 
-The core loop is MXU-shaped: per face-chunk, the three edge functions of all
-faces at all pixels are ONE matmul `[P, 3] @ [3, 3C]` (pixel homogeneous
-coords x edge-coefficient matrix), followed by a VPU inside-test + z-resolve
-folded into a `lax.scan` min-reduction over chunks. Meshes are decimated /
-padded to a static face budget at load time (`render/mesh.py`), so shapes
-are fully static. Screen-space (non-perspective-correct) barycentrics match
+Production TPU path: the tile-culled Pallas kernel
+(`ops/pallas_raster.zbuffer_sweep_tiled_attrs_batched`) sweeps each 16x16
+pixel tile over only the face chunks whose screen bboxes overlap it
+(Morton-ordered faces keep chunk bboxes tight) and recovers the winner's
+barycentrics + vertex attributes with exact one-hot MXU matmuls — no
+per-pixel gathers exist anywhere on the raster path. The pure-XLA fallback
+expresses the sweep as a `lax.scan` of `[P, 3] @ [3, C]` edge-function
+matmuls with a VPU inside-test + z-resolve; backend selection happens at
+lowering time via `lax.platform_dependent`. Meshes are decimated / padded
+to a static face budget at load time (`render/mesh.py`), so shapes are
+fully static. Screen-space (non-perspective-correct) barycentrics match
 PyTorch3D's rasterizer defaults used by the reference.
 """
 from __future__ import annotations

@@ -118,6 +118,16 @@ def main(argv=None):
               128, 128, jnp.asarray(mesh.face_valid), 128
           ).zbuf, verts, tol=1e-4)
 
+    # Fused raster + attribute interpolation (the production eval path).
+    from ..render.raster import rasterize_with_vis_attrs
+
+    vis = rs.randn(1, mesh.verts.shape[0], 6).astype(np.float32)
+    check("fused raster+attrs 1024f@128^2",
+          lambda v, a: rasterize_with_vis_attrs(
+              v, jnp.asarray(mesh.faces), jnp.asarray(inputs.intrinsics),
+              a, 128, 128, jnp.asarray(mesh.face_valid), 128
+          )[0], verts, vis, tol=5e-3)
+
     if args.full:
         from ..models.refiner import RefinerConfig
         from ..models.rnnpose import RNNPose, RNNPoseConfig
