@@ -305,6 +305,16 @@ class LinemodSynRealDataset(Dataset):
                     pose_padding(RT_gt[None]), self.rs
                 )[0, :3, :4]
         else:
+            if self.init_poses is not None and "index" not in fr:
+                # Positional fallback silently misaligns init poses once
+                # info files are merged or classes filtered — require the
+                # explicit per-frame index stamped at info-generation time
+                # (`tools/generate_data_info.py`).
+                raise KeyError(
+                    f"frame {idx} ({cls}) has no 'index' field; regenerate "
+                    "the .info file with tools/generate_data_info.py so "
+                    "eval init poses can be aligned explicitly"
+                )
             RT_init = self._init_pose_for_eval(cls, fr.get("index", idx), RT_gt)
         RT_init = RT_init.copy()
         RT_init[:3, :3] = reorthonormalize(RT_init[:3, :3])
@@ -353,6 +363,13 @@ class LinemodSynRealDataset(Dataset):
             "image": image_c.astype(np.float32),
             "intrinsics": np.asarray(
                 [K_c[0, 0], K_c[1, 1], K_c[0, 2], K_c[1, 2]], np.float32
+            ),
+            # Pre-crop camera K: Proj2D@5px thresholds in ORIGINAL-image
+            # pixels (reference `utils/eval_metric.py:102-110`), not in
+            # zoomed crop pixels, so the metric stays comparable to
+            # published numbers.
+            "orig_intrinsics": np.asarray(
+                [K[0, 0], K[1, 1], K[0, 2], K[1, 2]], np.float32
             ),
             "T_gt": pose_padding(RT_gt),
             "T_init": pose_padding(RT_init),

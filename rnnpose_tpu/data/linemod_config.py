@@ -27,6 +27,14 @@ LINEMOD_CLASSES = (
     "eggbox", "glue", "holepuncher", "iron", "lamp", "phone",
 )
 
+# DeepIM LM6d class index table (`generate_data_info_deepim_0_orig.py:69-86`;
+# 'bowl' (3) and 'cup' (7) are excluded there).
+CLASS_TO_IDX = {
+    "ape": 1, "benchvise": 2, "camera": 4, "cam": 4, "can": 5, "cat": 6,
+    "driller": 8, "duck": 9, "eggbox": 10, "glue": 11, "holepuncher": 12,
+    "iron": 13, "lamp": 14, "phone": 15,
+}
+
 # Camera intrinsics (reference lines 23-25).
 LINEMOD_K = np.array(
     [

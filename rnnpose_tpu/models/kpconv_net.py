@@ -142,7 +142,17 @@ class KPConvLayer(nn.Module):
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x):
         """Batched: q_pts (B,N,3), s_pts (B,M,3), neighb_inds (B,N,K), x (B,M,C)."""
-        kp = jnp.asarray(make_kernel_points(self.num_kernel_points, self.radius))
+        # Kernel-point dispositions are a *parameter* so converted reference
+        # checkpoints can install their stored (randomly rotated) layouts
+        # (`kpconv_blocks.py:99` keeps them as requires_grad=False
+        # Parameters); `train/optim.build_optimizer` always freezes them.
+        kp = self.param(
+            "kernel_points",
+            lambda rng: jnp.asarray(
+                make_kernel_points(self.num_kernel_points, self.radius),
+                jnp.float32,
+            ),
+        )
         in_dim = x.shape[-1]
         w = self.param(
             "weights",
@@ -247,8 +257,11 @@ class KPFCNN(nn.Module):
         )
         for layer in range(1, cfg.num_layers):
             skips.append(x)
-            out_dim *= 2
             # strided block: query = coarser level points, support = current.
+            # It keeps the CURRENT width; the reference doubles out_dim only
+            # *after* appending the strided block (`descriptor3D.py:76-86`),
+            # so resnetb_strided is (C -> C) and the following resnetb is
+            # (C -> 2C). Required for .tckpt shape compatibility.
             x = ResnetBottleneckBlock(
                 out_dim, rad(layer - 1), ext(layer - 1), cfg, strided=True,
                 name=f"enc_strided_{layer}",
@@ -256,6 +269,7 @@ class KPFCNN(nn.Module):
                 pyr.points[layer], pyr.points[layer - 1], pyr.pools[layer - 1],
                 x, pyr.masks[layer], pyr.masks[layer - 1],
             )
+            out_dim *= 2
             x = ResnetBottleneckBlock(
                 out_dim, rad(layer), ext(layer), cfg, name=f"enc_resnetb_{layer}a"
             )(pyr.points[layer], pyr.points[layer], pyr.neighbors[layer], x, pyr.masks[layer])

@@ -60,7 +60,11 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, dtype=self.dtype, name="conv1")(x)
+        # Explicit (1, 1) padding: torch's Conv2d(3x3, stride=2, padding=1)
+        # pads symmetrically, while flax 'SAME' at stride 2 pads (0, 1) —
+        # a one-pixel spatial shift that breaks converted-weight parity.
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride,
+                    padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(x)
         y = _norm(self.norm_fn)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), dtype=self.dtype, name="conv2")(y)
@@ -87,7 +91,10 @@ class BasicEncoder(nn.Module):
     def __call__(self, x):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=2, dtype=self.dtype, name="conv1")(x)
+        # torch pads the stride-2 7x7 stem (3, 3) on each side
+        # (`extractor.py:135`); flax 'SAME' would pad (2, 3).
+        x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)),
+                    dtype=self.dtype, name="conv1")(x)
         x = _norm(self.norm_fn)(x)
         x = nn.relu(x)
         for i, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):

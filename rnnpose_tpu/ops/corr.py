@@ -132,7 +132,12 @@ def corr_lookup(
             "qdy,qyx->qdx", Ay, vol, preferred_element_type=jnp.float32
         )                                                     # (BN, win, Wl)
         out = jnp.einsum(
-            "qdx,qex->qde", rows, Ax, preferred_element_type=jnp.float32
+            "qdx,qex->qed", rows, Ax, preferred_element_type=jnp.float32
         )                                                     # (BN, win, win)
+        # Window flattening is x-offset-major: the reference builds its
+        # window as stack(meshgrid(dy, dx)) and adds it to (x, y) centroids
+        # (`corr.py:44-50`), so its first window axis offsets x. Converted
+        # motion-encoder 1x1 weights (convc1) are per-tap; the order must
+        # match bit-for-bit (verified in tests/test_torch_parity.py).
         outs.append(out.reshape(B, H, W, win * win))
     return jnp.concatenate(outs, axis=-1)

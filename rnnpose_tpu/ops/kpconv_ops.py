@@ -92,7 +92,11 @@ def kpconv(
     if influence == "constant":
         all_weights = jnp.ones_like(sq_dist)
     elif influence == "linear":
-        all_weights = jnp.maximum(0.0, 1.0 - jnp.sqrt(sq_dist) / kp_extent)
+        # Safe sqrt: sq_dist == 0 exactly when a self-neighbor meets the
+        # center kernel point; d/dx sqrt(x) is infinite there and
+        # kernel_points is a (frozen, but differentiated) parameter.
+        dist = jnp.sqrt(jnp.maximum(sq_dist, 1e-12))
+        all_weights = jnp.maximum(0.0, 1.0 - dist / kp_extent)
     elif influence == "gaussian":
         sigma = kp_extent * 0.3
         all_weights = jnp.exp(-sq_dist / (2.0 * sigma * sigma))
@@ -119,8 +123,15 @@ def kpconv(
         "npc,pcd->nd", weighted, weights, preferred_element_type=jnp.float32
     )
 
-    # Density normalization by valid neighbor count (reference 370-379).
-    n_valid = jnp.maximum(jnp.sum(valid.astype(out.dtype), axis=-1), 1.0)
+    # Density normalization (reference 370-375): the reference counts
+    # neighbors whose *feature sum* is > 0 — shadow rows gather the appended
+    # zero feature and drop out, but so do real neighbors whose channel sum
+    # happens to be non-positive. Quirk replicated exactly for converted
+    # -weight parity (tests/test_torch_parity.py).
+    feat_sum = jnp.sum(neighb_x, axis=-1)              # (N, K)
+    n_valid = jnp.maximum(
+        jnp.sum((feat_sum > 0.0).astype(out.dtype), axis=-1), 1.0
+    )
     return out / n_valid[:, None]
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -25,7 +26,10 @@ def parse_args(argv=None):
     p.add_argument("--syn_zoom", type=int, default=120)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--dump_poses", type=str, default=None,
-                   help="npz path for predicted poses (reference dumps .npy)")
+                   help="directory for per-class pose dumps in the "
+                        "reference's layout ({cls}_pose_preds.npy, "
+                        "`utils/eval_metric.py:297-300`), enabling "
+                        "tool-for-tool cross-checks")
     p.add_argument("--icp", action="store_true",
                    help="TPU-native ICP refinement against the depth cloud "
                         "(the reference ships this hook dormant)")
@@ -169,7 +173,7 @@ def main(argv=None):
                     diameter_m(cls),
                     assets.model_points,
                     assets.point_valid,
-                    s if args.icp else None,
+                    s,
                 )
 
         frames = frame_gen()
@@ -180,7 +184,7 @@ def main(argv=None):
     fwd = None
     cache = {}
     evaluators = {}
-    poses_out = []
+    poses_out = {}
     t_total, n_frames = 0.0, 0
     bar = ProgressBar()
     for inputs, cls, diameter, model_points, point_valid, raw in frames:
@@ -219,6 +223,11 @@ def main(argv=None):
         n_frames += 1
         scene_kw = {}
         if args.icp:
+            if raw is None:
+                raise SystemExit(
+                    "--icp needs real depth frames; it cannot be combined "
+                    "with --synthetic (no raw depth on synthetic inputs)."
+                )
             from ..data import preprocess as prep
 
             depth = raw["depth"]
@@ -241,12 +250,20 @@ def main(argv=None):
             scene_kw = dict(
                 scene_points=pts_cam[None], scene_valid=valid[None]
             )
+        # Proj2D must threshold in original-camera pixels (reference
+        # `utils/eval_metric.py:102-110`); the crop intrinsics rescale pixel
+        # units and would skew proj5. Poses are camera-frame, so the
+        # pre-crop K applies directly.
+        K_eval = (
+            np.asarray(raw["orig_intrinsics"])[None]
+            if raw is not None and "orig_intrinsics" in raw
+            else np.asarray(inputs.intrinsics)
+        )
         evaluators[cls].evaluate(
-            np.asarray(T_pred), np.asarray(inputs.T_gt),
-            np.asarray(inputs.intrinsics), **scene_kw,
+            np.asarray(T_pred), np.asarray(inputs.T_gt), K_eval, **scene_kw,
         )
         if args.dump_poses:
-            poses_out.append(np.asarray(T_pred))
+            poses_out.setdefault(cls, []).append(np.asarray(T_pred))
         bar.update(n_frames)
 
     results = {}
@@ -260,7 +277,12 @@ def main(argv=None):
     print("\n=== overall (seq_len weighted) ===")
     print(json.dumps({k: round(float(v), 5) for k, v in overall.items()}))
     if args.dump_poses and poses_out:
-        np.savez(args.dump_poses, poses=np.concatenate(poses_out))
+        os.makedirs(args.dump_poses, exist_ok=True)
+        for cls, plist in poses_out.items():
+            np.save(
+                os.path.join(args.dump_poses, f"{cls}_pose_preds.npy"),
+                np.concatenate(plist),
+            )
     return overall
 
 

@@ -170,7 +170,16 @@ def sequence_flow_loss(
     gamma: float = 0.8,
     max_flow: float = MAX_FLOW,
 ) -> jnp.ndarray:
-    """RAFT sequence loss (reference `PoseRefiner.py:29-55`)."""
+    """RAFT sequence loss (reference `PoseRefiner.py:29-55`).
+
+    Parity note: the reference's only `cf_net` call site uses the default
+    `iters=1` (`PoseRefiner.py:329`, `CFNet.py:109`), so each
+    `flow_history[i]` entry is a length-1 list and the gamma weighting
+    degenerates to 1.0 there. `refiner_loss` therefore passing length-1
+    sequences per refinement iteration is reference-exact, not a
+    divergence; the general T>1 weighting here exists for configs that
+    raise the inner flow-iteration count.
+    """
     mag = jnp.linalg.norm(flow_gt, axis=-1)
     v = ((valid >= 0.5) & (mag < max_flow)).astype(flow_gt.dtype)
     n = flow_preds.shape[0]

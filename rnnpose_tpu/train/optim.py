@@ -158,8 +158,12 @@ def build_optimizer(
             step_size=lambda step: -lr(step)
         ),
     )
-    if cfg.freeze_patterns and params is not None:
-        mask = freeze_mask(params, cfg.freeze_patterns)
+    # Kernel-point dispositions ride the param tree for checkpoint
+    # conversion but are never trained (requires_grad=False in the
+    # reference, `kpconv_blocks.py:99`).
+    patterns = tuple(cfg.freeze_patterns) + (r"kernel_points",)
+    if params is not None:
+        mask = freeze_mask(params, patterns)
         tx = optax.multi_transform(
             {True: tx, False: optax.set_to_zero()},
             jax.tree.map(lambda m: m, mask),

@@ -7,6 +7,8 @@ import pickle
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # LINEMOD-format fixture end-to-end (~ minutes)
 import yaml
 
 cv2 = pytest.importorskip("cv2")

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # per-subnet integration compiles (~15 min CPU)
+
 from rnnpose_tpu.models import raft, superpoint
 from rnnpose_tpu.models.kpconv_net import KPConvConfig, KPFCNN
 from rnnpose_tpu.data import pyramid as pyr_lib

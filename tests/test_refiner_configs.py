@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # refiner config sweep compiles (~ minutes)
+
 from rnnpose_tpu.models.rnnpose import RNNPose
 
 

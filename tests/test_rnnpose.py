@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model integration on tiny shapes (~5 min CPU)
+
 from rnnpose_tpu.data.synthetic import SyntheticConfig, make_synthetic_inputs
 from rnnpose_tpu.models.kpconv_net import KPConvConfig
 from rnnpose_tpu.models.refiner import RefinerConfig

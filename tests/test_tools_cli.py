@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # CLI end-to-end runs (~5 min CPU)
+
 
 @pytest.mark.slow
 def test_train_cli_synthetic(tmp_path):

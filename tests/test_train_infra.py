@@ -173,3 +173,18 @@ def test_sequence_flow_loss_gamma_weighting(rng):
     l = sequence_flow_loss(pred, flow_gt, valid, gamma=0.5)
     # weights [0.5, 1.0], per-step mean L1 = 1 -> total 1.5
     np.testing.assert_allclose(float(l), 1.5, atol=1e-5)
+
+
+def test_sequence_flow_loss_length1_is_gamma_free(rng):
+    """Reference parity: `cf_net` is only ever called with iters=1
+    (`PoseRefiner.py:329`, `CFNet.py:109`), so each history entry is a
+    length-1 sequence and the gamma term must degenerate to exactly 1.0."""
+    flow_gt = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
+    valid = jnp.ones((1, 4, 4))
+    pred = jnp.asarray(rng.randn(1, 1, 4, 4, 2).astype(np.float32))
+    l_a = sequence_flow_loss(pred, flow_gt, valid, gamma=0.8)
+    l_b = sequence_flow_loss(pred, flow_gt, valid, gamma=0.1)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-7)
+    np.testing.assert_allclose(
+        float(l_a), float(jnp.mean(jnp.abs(pred[0] - flow_gt))), rtol=1e-6
+    )
