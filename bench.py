@@ -5,11 +5,20 @@ descriptors, 3 render iters x 4 GRU iters x 1 LM step, 320x320 input,
 240x240 zoom crop — `config/linemod/template_fw0.5.yml:2-4,15,76-81`) on the
 available accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is fps relative to ~10 fps — the reference PyTorch pipeline's
-order-of-magnitude GPU throughput at the same iteration budget (the repo
-publishes no numbers, BASELINE.md; 10 fps corresponds to the ~100 ms/frame
-class of RAFT-based refiners). North star is >=5x (BASELINE.json).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+`vs_baseline` is fps relative to an ASSUMED 10 fps reference throughput —
+the reference repo publishes no fps numbers and cannot run here (no NVIDIA
+GPU; BASELINE.md), so 10 fps is a derivation, not a measurement: RAFT-based
+refiners of this iteration budget (3 render x 4 GRU x 1 LM, 12 RAFT-scale
+update steps at 240 px plus 2 KPConv towers + SuperPoint per frame) land in
+the ~100 ms/frame class on contemporary GPUs. The JSON self-describes this
+via `baseline_assumed` and reports both serving points (B=1 single-stream
+and B=8 throughput) separately.
+
+The 2048-vert/4096-face mesh budget below IS the shipping LINEMOD budget:
+`data/linemod.py` simplifies every model to max_verts=2048/max_faces=4096
+at load (watertight vertex clustering, `render/mesh.simplify_mesh`), so the
+bench measures the real eval operating point.
 """
 from __future__ import annotations
 
@@ -130,11 +139,13 @@ def measure_fps(batch_size: int) -> float:
 
 def main():
     # Two serving operating points, both per-class-homogeneous batches:
-    # single-stream tracking (B=1, latency-bound) and throughput serving
+    # single-stream tracking (B=1, latency-bound — the reference's eval
+    # protocol is bs=1, `utils/eval_metric.py:309`) and throughput serving
     # (B=8 — with the fused raster kernel + matmul-form resampling the
-    # MXU-heavy parts finally amortize: measured 78 vs 114 fps/chip).
-    # Report the best frames/s/chip; the chain protocol (sequential
-    # dependency + in-window host read) applies per batch step.
+    # MXU-heavy parts finally amortize). The headline is the best
+    # frames/s/chip; both points are reported in the JSON. The chain
+    # protocol (sequential dependency + in-window host read) applies per
+    # batch step.
     fps_by_batch = {b: measure_fps(b) for b in (1, 8)}
     best_b = max(fps_by_batch, key=fps_by_batch.get)
     fps = fps_by_batch[best_b]
@@ -146,6 +157,14 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS, 3),
+                "batch_size": best_b,
+                "fps_b1": round(fps_by_batch[1], 3),
+                "fps_b8": round(fps_by_batch[8], 3),
+                "baseline_assumed": REFERENCE_FPS,
+                "baseline_note": (
+                    "reference publishes no fps and cannot run here; 10 fps "
+                    "is the assumed GPU throughput of its iteration budget"
+                ),
             }
         )
     )

@@ -84,7 +84,7 @@ def default_config() -> Dict[str, Any]:
                 "online_crop": True,
                 "margin_ratio": 0.4,
                 "flow_net": "raft",
-                "raster": {"max_verts": 20000, "max_faces": 16384, "chunk": 512},
+                "raster": {"max_verts": 2048, "max_faces": 4096, "chunk": 512},
             },
         },
         "loss": {
@@ -198,6 +198,34 @@ def build_model_config(cfg: Dict[str, Any]) -> RNNPoseConfig:
             flow_weight=mn["train_flow_weight"],
             reproj_weight=mn["train_reproj_weight"],
             pcalign_weight=mn["train_pcalign_weight"],
+        ),
+    )
+
+
+def apply_parity_preset(model_cfg: RNNPoseConfig) -> RNNPoseConfig:
+    """Reference-exact operating mode for parity evaluation.
+
+    The TPU-first defaults trade reference-exactness for speed in three
+    places; this preset reverts all of them so an eval run is end-to-end
+    reference-exact (`tools/eval.py --parity`):
+      * `lm_res='full'` — LM residuals on the full 240^2 grid
+        (reference `model/PoseRefiner.py:342-350`), not the 1/8 grid;
+      * `corr_weight_res='full'` — similarity weighting at full res
+        (`geometry/transformation.py:265-316`);
+      * `mixed_precision=False` — f32 everywhere (SuperPoint, refiner
+        encoder, GRU); the bf16 policy was A/B'd as metric-neutral but is
+        not bit-identical to the reference's f32 forward.
+    The 'eighth'/bf16 defaults remain the serving preset.
+    """
+    import dataclasses
+
+    return dataclasses.replace(
+        model_cfg,
+        refiner=dataclasses.replace(
+            model_cfg.refiner,
+            lm_res="full",
+            corr_weight_res="full",
+            mixed_precision=False,
         ),
     )
 

@@ -30,9 +30,15 @@ class HybridDescNet(nn.Module):
 
     descriptor_dim: int = 32
     kp_cfg: KPConvConfig = KPConvConfig(final_feats_dim=32)
+    mixed_precision: bool = True   # bf16 SuperPoint convs; False = f32
+                                   # bit-parity with the reference forward
 
     def setup(self):
-        self.desc2d_net = SuperPoint2D(descriptor_dim=self.descriptor_dim, name="desc2d")
+        self.desc2d_net = SuperPoint2D(
+            descriptor_dim=self.descriptor_dim,
+            mixed_precision=self.mixed_precision,
+            name="desc2d",
+        )
         self.desc3d_net = KPFCNN(self.kp_cfg, name="desc3d")
 
     def encode_2d(self, image: jnp.ndarray):

@@ -103,7 +103,8 @@ class RNNPose(nn.Module):
 
     def setup(self):
         self.hybrid_desc_net = HybridDescNet(
-            self.cfg.descriptor_dim, self.cfg.desc_kp, name="hybrid"
+            self.cfg.descriptor_dim, self.cfg.desc_kp,
+            mixed_precision=self.cfg.refiner.mixed_precision, name="hybrid"
         )
         self.ctx_fea_net = ContextFeatureNet(self.cfg.ctx_kp, name="ctx")
         self.motion_net = PoseRefiner(self.cfg.refiner, name="motion")

@@ -29,11 +29,20 @@ scan version, so speed-of-light is VPU-bound at ~P*F*16 flops.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Read ONCE at import: trace-time env reads inside jitted functions are not
+# part of the jit cache key, so post-compile changes would silently no-op.
+# Measured full-model at B=8: VPU fma chains 124.1 fps vs MXU 108.9 — the
+# K=3 exact-f32 contraction (6 MXU passes at HIGHEST) loses to the
+# broadcast-fma sweep. The MXU variant stays selectable (set
+# RNNPOSE_RASTER_SWEEP=mxu before importing) for hardware where it flips.
+MXU_SWEEP = os.environ.get("RNNPOSE_RASTER_SWEEP", "vpu") == "mxu"
 
 __all__ = [
     "zbuffer_sweep",
@@ -725,16 +734,9 @@ def zbuffer_sweep_tiled_attrs_batched(
         attr_pad.reshape(B, nc, chunk, 3, dpad).transpose(0, 1, 3, 4, 2)
     )  # (B, nc, 3, dpad, chunk)
 
-    import os
-
-    # Measured full-model at B=8: VPU fma chains 124.1 fps vs MXU 108.9 —
-    # the K=3 exact-f32 contraction (6 MXU passes at HIGHEST) loses to the
-    # broadcast-fma sweep. The MXU variant stays selectable for future
-    # hardware where the trade-off may flip.
-    mxu_sweep = os.environ.get("RNNPOSE_RASTER_SWEEP", "vpu") == "mxu"
     kernel = functools.partial(
         _tiled_attrs_kernel_batched, tile=tile, w_tiles=w_tiles, chunk=chunk,
-        dpad=dpad, min_depth=min_depth, mxu_sweep=mxu_sweep,
+        dpad=dpad, min_depth=min_depth, mxu_sweep=MXU_SWEEP,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -181,8 +181,11 @@ def normalize_mesh(mesh: TriMesh) -> Tuple[TriMesh, np.ndarray, float]:
 def decimate_mesh(mesh: TriMesh, max_faces: int, seed: int = 0) -> TriMesh:
     """Cheap decimation: uniformly subsample faces to a budget.
 
-    For 240px renders feeding a correlation/flow net the visual difference is
-    negligible; holes are closed by the splat-based foreground mask.
+    Only suitable for synthetic fixtures (leaves pinholes in the surface).
+    Real data paths must use `simplify_mesh`, which preserves a watertight
+    surface (reference rasterizes the full PyTorch3D mesh,
+    `geometry/diff_render_optim.py:269-325`; we instead simplify once at load
+    to a static budget).
     """
     if mesh.num_faces <= max_faces:
         return mesh
@@ -191,6 +194,130 @@ def decimate_mesh(mesh: TriMesh, max_faces: int, seed: int = 0) -> TriMesh:
     keep.sort()
     return TriMesh(mesh.verts, mesh.faces[keep], mesh.vert_colors,
                    mesh.num_verts, max_faces)
+
+
+def _cluster_simplify_once(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray,
+    res: int,
+) -> TriMesh:
+    """One vertex-clustering pass at grid resolution `res` (cells along the
+    longest bbox axis), with quadric-optimal vertex placement.
+
+    Out-of-core-style clustering (Lindstrom 2000): vertices are binned on a
+    uniform grid; each occupied cell collapses to the point minimizing the
+    sum of squared distances to the incident faces' planes (its quadric),
+    falling back to the cell mean when the quadric is ill-conditioned. Faces
+    with two corners in the same cell become degenerate and are dropped;
+    duplicated triangles are deduplicated. Unlike random face deletion this
+    keeps the surface closed: every surviving patch of surface stays
+    connected through its cluster vertices.
+    """
+    lo, hi = verts.min(0), verts.max(0)
+    extent = float(np.max(hi - lo))
+    cell = max(extent / max(res, 1), 1e-12)
+    gid = np.floor((verts - lo) / cell).astype(np.int64)
+    gid = np.clip(gid, 0, res - 1)
+    key = (gid[:, 0] * res + gid[:, 1]) * res + gid[:, 2]
+    uniq, cluster = np.unique(key, return_inverse=True)
+    n_clusters = len(uniq)
+
+    # --- per-cluster mean position / color -------------------------------
+    cnt = np.bincount(cluster, minlength=n_clusters).astype(np.float64)
+    mean = np.stack(
+        [np.bincount(cluster, verts[:, i], minlength=n_clusters) for i in range(3)],
+        axis=-1,
+    ) / cnt[:, None]
+    col = np.stack(
+        [np.bincount(cluster, colors[:, i], minlength=n_clusters) for i in range(3)],
+        axis=-1,
+    ) / cnt[:, None]
+
+    # --- per-cluster plane quadrics (area-weighted) -----------------------
+    # Q = sum_f w_f * [nn^T, d*n; d*n^T, d^2] over faces touching the cluster.
+    A = np.zeros((n_clusters, 3, 3), np.float64)
+    b = np.zeros((n_clusters, 3), np.float64)
+    if len(faces):
+        p0, p1, p2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        n = np.cross(p1 - p0, p2 - p0)
+        area2 = np.linalg.norm(n, axis=-1)
+        w = area2 / 2.0
+        n = n / np.maximum(area2[:, None], 1e-20)
+        d = -np.einsum("fi,fi->f", n, p0)
+        fA = w[:, None, None] * n[:, :, None] * n[:, None, :]   # (F,3,3)
+        fb = w[:, None] * d[:, None] * n                        # (F,3)
+        for corner in range(3):
+            cidx = cluster[faces[:, corner]]
+            np.add.at(A, cidx, fA)
+            np.add.at(b, cidx, fb)
+
+    # --- quadric-optimal placement, guarded ------------------------------
+    # Minimize x^T A x + 2 b^T x  =>  A x = -b; regularize toward the mean so
+    # flat/degenerate quadrics stay put: (A + eps*tr(A)/3 I)(x - m) = -(b + A m).
+    tr = np.trace(A, axis1=1, axis2=2)
+    eps = 1e-3 * np.maximum(tr, 1e-20) / 3.0
+    Areg = A + eps[:, None, None] * np.eye(3)
+    rhs = -(b + np.einsum("cij,cj->ci", A, mean))
+    try:
+        delta = np.linalg.solve(Areg, rhs[..., None])[..., 0]
+    except np.linalg.LinAlgError:
+        delta = np.zeros_like(mean)
+    # Keep the solution inside its cell neighborhood (guards sliver quadrics).
+    delta = np.clip(delta, -cell, cell)
+    pos = np.where(np.isfinite(delta).all(-1, keepdims=True), mean + delta, mean)
+
+    # --- remap faces, drop degenerates, dedup -----------------------------
+    if len(faces):
+        fmap = cluster[faces]
+        nondeg = (
+            (fmap[:, 0] != fmap[:, 1])
+            & (fmap[:, 1] != fmap[:, 2])
+            & (fmap[:, 0] != fmap[:, 2])
+        )
+        fmap = fmap[nondeg]
+        srt = np.sort(fmap, axis=1)
+        _, first = np.unique(srt, axis=0, return_index=True)
+        fmap = fmap[np.sort(first)]
+    else:
+        fmap = np.zeros((0, 3), np.int64)
+
+    return TriMesh(
+        pos.astype(np.float32),
+        fmap.astype(np.int32),
+        np.clip(col, 0.0, 1.0).astype(np.float32),
+    )
+
+
+def simplify_mesh(mesh: TriMesh, max_verts: int, max_faces: int) -> TriMesh:
+    """Simplify to fit (max_verts, max_faces) via vertex clustering.
+
+    Binary-searches the finest grid resolution whose clustered mesh fits both
+    budgets, so the output uses as much of the budget as possible. Replaces
+    the reference's implicit "rasterize the full mesh" (PyTorch3D handles
+    arbitrary F) with a TPU-static face budget that keeps the surface
+    watertight — no interior holes in the rendered mask (tested in
+    `tests/test_render.py::test_simplify_mesh_no_interior_holes`).
+    """
+    v = mesh.verts[: mesh.num_verts]
+    f = mesh.faces[: mesh.num_faces]
+    c = mesh.vert_colors[: mesh.num_verts]
+    if mesh.num_verts <= max_verts and mesh.num_faces <= max_faces:
+        return TriMesh(v, f, c)
+
+    lo_res, hi_res = 1, 512
+    best: Optional[TriMesh] = None
+    while lo_res <= hi_res:
+        mid = (lo_res + hi_res) // 2
+        out = _cluster_simplify_once(v, f, c, mid)
+        if out.num_verts <= max_verts and out.num_faces <= max_faces:
+            best = out
+            lo_res = mid + 1
+        else:
+            hi_res = mid - 1
+    if best is None:  # even res=1 over budget (can't happen for sane budgets)
+        best = _cluster_simplify_once(v, f, c, 1)
+    return best
 
 
 def _morton_face_order(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:

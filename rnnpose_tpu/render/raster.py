@@ -26,6 +26,7 @@ PyTorch3D's rasterizer defaults used by the reference.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -44,6 +45,7 @@ __all__ = [
 
 _FAR = 1e9
 _AREA_EPS = 1e-9
+_TILE_PREF = os.environ.get("RNNPOSE_RASTER_TILE")
 
 
 class Fragments(NamedTuple):
@@ -89,12 +91,10 @@ def _pick_tile(h: int, w: int, chunk: int) -> Optional[int]:
     object fill most of the raster, so finer tiles cull face chunks much
     better than they pay in per-invocation overhead (full-model bench:
     77.1 fps @16 vs 70.8 @24 vs 66.9 @40). Larger tiles only win for
-    sparse coverage (object small in frame). RNNPOSE_RASTER_TILE overrides
+    sparse coverage (object small in frame). RNNPOSE_RASTER_TILE (read once
+    at import — trace-time reads are invisible to the jit cache) overrides
     for experiments; VMEM bounds the (tile^2, chunk) working set."""
-    import os
-
-    pref = os.environ.get("RNNPOSE_RASTER_TILE")
-    for t in ((int(pref),) if pref else (16,)):
+    for t in ((int(_TILE_PREF),) if _TILE_PREF else (16,)):
         if h % t == 0 and w % t == 0 and t * t * chunk * 4 * 6 <= 8 << 20:
             return t
     return None

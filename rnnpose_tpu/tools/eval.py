@@ -37,6 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--icp_corr_dist", type=float, default=0.02)
     p.add_argument("--icp_points", type=int, default=1024,
                    help="scene-cloud budget (padded static shape)")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-exact operating mode: full-res LM "
+                        "residuals + similarity weighting, f32 everywhere "
+                        "(config.defaults.apply_parity_preset). The default "
+                        "is the faster TPU serving preset (1/8-grid, bf16), "
+                        "A/B'd metric-neutral on the synthetic benchmark.")
     return p.parse_args(argv)
 
 
@@ -177,6 +183,11 @@ def main(argv=None):
                 )
 
         frames = frame_gen()
+
+    if args.parity:
+        from ..config.defaults import apply_parity_preset
+
+        model_cfg = apply_parity_preset(model_cfg)
 
     model = RNNPose(model_cfg)
 

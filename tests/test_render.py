@@ -199,3 +199,48 @@ def test_pad_mesh():
     assert m.num_verts == 3 and m.num_faces == 1
     # padded faces are degenerate -> culled by rasterize's default face_valid
     assert (m.faces[1:] == 0).all()
+
+
+def test_simplify_mesh_budgets_and_geometry():
+    """Vertex clustering must hit the budget and stay on the surface."""
+    from rnnpose_tpu.data.synthetic import make_icosphere
+
+    m = make_icosphere(subdivisions=4, radius=0.1)  # 2562 v / 5120 f
+    s = mesh_lib.simplify_mesh(m, max_verts=512, max_faces=1024)
+    assert s.num_verts <= 512 and s.num_faces <= 1024
+    # Uses most of the budget (binary search on resolution).
+    assert s.num_faces > 512
+    # Cluster vertices stay near the unit sphere surface.
+    r = np.linalg.norm(s.verts[: s.num_verts], axis=-1)
+    np.testing.assert_allclose(r, 0.1, atol=0.004)
+    # No degenerate or duplicate faces.
+    f = s.faces[: s.num_faces]
+    assert (f[:, 0] != f[:, 1]).all() and (f[:, 1] != f[:, 2]).all()
+    assert len(np.unique(np.sort(f, 1), axis=0)) == s.num_faces
+
+
+def test_simplify_mesh_no_interior_holes():
+    """Golden render check (VERDICT r1 #4): the simplified mesh's rendered
+    mask must have zero interior holes, unlike random face deletion."""
+    from scipy import ndimage
+
+    from rnnpose_tpu.data.synthetic import make_icosphere
+
+    m = make_icosphere(subdivisions=4, radius=0.25)
+    s = mesh_lib.simplify_mesh(m, max_verts=512, max_faces=1024)
+    s = mesh_lib.pad_mesh(s, 512, 1024)
+    v = s.verts + np.array([0.0, 0.0, 1.0], np.float32)  # in front of camera
+    frags = rasterize(jnp.asarray(v)[None], jnp.asarray(s.faces), K, H, W)
+    mask = np.asarray(frags.face_id >= 0)[0]
+    assert mask.sum() > 500  # sphere covers a real area
+    filled = ndimage.binary_fill_holes(mask)
+    n_holes = int(filled.sum() - mask.sum())
+    assert n_holes == 0, f"{n_holes} interior hole pixels in simplified render"
+    # Control: random face deletion at the same budget DOES leave holes.
+    d = mesh_lib.decimate_mesh(make_icosphere(4, 0.25), 1024)
+    d = mesh_lib.pad_mesh(d, d.num_verts, 1024)
+    vd = d.verts + np.array([0.0, 0.0, 1.0], np.float32)
+    frags_d = rasterize(jnp.asarray(vd)[None], jnp.asarray(d.faces), K, H, W)
+    mask_d = np.asarray(frags_d.face_id >= 0)[0]
+    holes_d = int(ndimage.binary_fill_holes(mask_d).sum() - mask_d.sum())
+    assert holes_d > 0  # documents why simplify_mesh replaced decimate_mesh
