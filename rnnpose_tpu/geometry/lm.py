@@ -131,7 +131,10 @@ def _lm_step(
     J = peinsum("...ij,...jk->...ik", j_proj, j_tf)  # (B, H, W, 2, 6)
 
     r = target - uv                                     # (B, H, W, 2)
-    w_all = weight * valid[..., None]                   # (B, H, W, 2)
+    # Reference v-mask requires BOTH source and transformed depth in front
+    # (`transformation.py:289-291`: (X0z > MIN_DEPTH) & (X1z > MIN_DEPTH)).
+    v = valid * (X1[..., 2] > cfg.min_depth).astype(valid.dtype)
+    w_all = weight * v[..., None]                       # (B, H, W, 2)
 
     # Normal equations. Flatten pixels*2 into one contraction axis so XLA can
     # lower these to batched MXU matmuls:  H = Jw^T J,  b = Jw^T r.

@@ -23,7 +23,13 @@ from ..ops import corr as corr_ops
 from ..ops.upsample import convex_upsample
 from .raft import BasicEncoder, BasicUpdateBlock
 
-__all__ = ["ImageFeaEncoder", "GRUFlowStep", "split_context", "downsample_flow"]
+__all__ = [
+    "ImageFeaEncoder",
+    "GRUFlowStep",
+    "split_context",
+    "downsample_flow",
+    "resize_bilinear_ac",
+]
 
 
 class ImageFeaEncoder(nn.Module):
@@ -65,7 +71,7 @@ def split_context(
     if out_hw is None:
         out_hw = (h // 8, w // 8)
     if (h, w) != tuple(out_hw):
-        lr = jax.image.resize(cfea, (b, *out_hw, c), "bilinear")
+        lr = resize_bilinear_ac(cfea, out_hw)
     else:
         lr = cfea
     net = jnp.tanh(lr[..., :hidden_dim])
@@ -76,12 +82,44 @@ def split_context(
     return net, inp
 
 
+def resize_bilinear_ac(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear resize with torch's align_corners=True convention:
+    source coordinate of output pixel i is i*(in-1)/(out-1).
+
+    `jax.image.resize(..., 'bilinear')` uses the half-pixel convention, which
+    differs from the reference's `F.interpolate(..., align_corners=True)`
+    calls (`CFNet.py:129,143`). Implemented as two separable tent-weight
+    matmuls (MXU-friendly, like `ops/sampler.separable_crop_sample`).
+    """
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def weights(n_out, n_in):
+        if n_out == 1:
+            src = jnp.zeros((1,), jnp.float32)
+        else:
+            src = jnp.arange(n_out, dtype=jnp.float32) * (
+                (n_in - 1) / (n_out - 1)
+            )
+        return jnp.maximum(
+            0.0, 1.0 - jnp.abs(src[:, None] - jnp.arange(n_in, dtype=jnp.float32))
+        ).astype(x.dtype)
+
+    wy = weights(oh, h)  # (oh, h)
+    wx = weights(ow, w)  # (ow, w)
+    hp = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("iy,byxc->bixc", wy, x, precision=hp)
+    return jnp.einsum("jx,bixc->bijc", wx, tmp, precision=hp)
+
+
 def downsample_flow(flow: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
-    """Full-res flow -> 1/factor res with magnitude rescale
-    (reference `CFNet.py:139-144`)."""
+    """Full-res flow -> 1/factor res with magnitude rescale.
+
+    Reference `CFNet.py:139-144`: `flow_init /= ds` then
+    `F.interpolate(scale_factor=1/ds, mode='bilinear', align_corners=True)`.
+    """
     b, h, w, c = flow.shape
-    lr = jax.image.resize(flow / factor, (b, h // factor, w // factor, c), "bilinear")
-    return lr
+    return resize_bilinear_ac(flow / factor, (h // factor, w // factor))
 
 
 class GRUFlowStep(nn.Module):

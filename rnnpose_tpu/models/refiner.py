@@ -205,7 +205,13 @@ class _InnerStep(nn.Module):
                 b, hl, wl, _ = w_lr.shape
                 weight = jax.image.resize(w_lr, (b, S, S, 1), "bilinear")
             else:
-                warped = bilinear_sample(c["geofea2_crop"], target)
+                # Reference quirk reproduced exactly: `normalize_coords_grid`
+                # maps pixels with the align_corners=True formula 2u/(S-1)-1
+                # (`projective_ops.py:11-23`) but `F.grid_sample` reads it
+                # with its align_corners=False default (`PoseRefiner.py:343`),
+                # so the effective sample point is u*S/(S-1) - 0.5.
+                tq = target * (S / (S - 1.0)) - 0.5
+                warped = bilinear_sample(c["geofea2_crop"], tq)
                 dot = jnp.sum(c["geofea1"] * warped, axis=-1, keepdims=True)
                 weight = jnp.exp(-jnp.abs(1.0 - dot) / sigma)
             weight = weight * (c["syn_depth"] > 0)[..., None].astype(weight.dtype)
@@ -314,10 +320,12 @@ class PoseRefiner(nn.Module):
             Ti_render = jax.lax.stop_gradient(Ti)
 
             # Crop box from the projected-vertex bbox. The reference splats
-            # vertices into a depth map and takes the mask bbox (253-263);
-            # the bbox of the projected valid vertices is the same box
-            # without the scatter (the mask IS splatted vertices) — saves a
-            # TPU-hostile scatter per render iteration.
+            # vertices into a depth map at round(uv) and takes the mask bbox
+            # (253-263, `diff_render_optim.py:369-402`); since round() is
+            # monotone, min/max over the painted pixels equals round() of the
+            # float min/max — the same integer box without the TPU-hostile
+            # scatter. Rounding before the clamp reproduces the reference's
+            # `.clamp(0, dim-1)` on scatter indices exactly.
             verts_cam = proj.transform_points(Ti_render, mesh.verts[None])
             uv_full, _ = proj.project(verts_cam, intrinsics[:, None, :])
             vvalid = (
@@ -330,14 +338,26 @@ class PoseRefiner(nn.Module):
             x1 = jnp.max(jnp.where(vvalid, uv_full[..., 0], -big), axis=1)
             y1 = jnp.max(jnp.where(vvalid, uv_full[..., 1], -big), axis=1)
             none_valid = ~jnp.any(vvalid, axis=1)
-            x0 = jnp.where(none_valid, 0.0, jnp.clip(x0, 0, w_img - 1))
-            y0 = jnp.where(none_valid, 0.0, jnp.clip(y0, 0, h_img - 1))
-            x1 = jnp.where(none_valid, float(w_img - 1), jnp.clip(x1, 0, w_img - 1))
-            y1 = jnp.where(none_valid, float(h_img - 1), jnp.clip(y1, 0, h_img - 1))
+            x0 = jnp.where(none_valid, 0.0, jnp.clip(jnp.round(x0), 0, w_img - 1))
+            y0 = jnp.where(none_valid, 0.0, jnp.clip(jnp.round(y0), 0, h_img - 1))
+            x1 = jnp.where(
+                none_valid, float(w_img - 1), jnp.clip(jnp.round(x1), 0, w_img - 1)
+            )
+            y1 = jnp.where(
+                none_valid, float(h_img - 1), jnp.clip(jnp.round(y1), 0, h_img - 1)
+            )
             bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
 
-            # In-graph zoom-crop parameters + crop intrinsics (reference 263).
-            crop_params = crop_lib.square_crop_params(bbox, cfg.margin_ratio)
+            # In-graph zoom-crop parameters + crop intrinsics (reference 263):
+            # window centered on the projected model-frame origin
+            # (`PoseRefiner.py:207-210`), sized by the max center->bbox-edge
+            # distance, anisotropic by the full-image aspect ratio.
+            t_obj = Ti_render[:, None, :3, 3]
+            center_uv, _ = proj.project(t_obj, intrinsics[:, None, :])
+            crop_params = crop_lib.reference_crop_params(
+                center_uv[:, 0], bbox, cfg.margin_ratio,
+                ratio=float(h_img) / float(w_img),
+            )
             K_crop = jax.lax.stop_gradient(
                 crop_lib.crop_intrinsics(intrinsics, crop_params, S)
             )

@@ -89,18 +89,20 @@ def separable_crop_sample(
 
     Args:
       image: (B, H, W, C).
-      crop_params: (B, 3) [cx, cy, half] (see `geometry/crop`).
+      crop_params: (B, 4) [cx, cy, half_x, half_y] (see `geometry/crop`).
       out_size: output side length S.
     Returns:
       (B, S, S, C) == bilinear_sample(image, crop_source_coords(...)).
     """
     B, H, W, C = image.shape
     f32 = jnp.float32
-    s = (2.0 * crop_params[..., 2]) / out_size            # (B,)
-    origin = crop_params[..., :2] - crop_params[..., 2:3]  # (B, 2) [x, y]
-    r = jnp.arange(out_size, dtype=f32)
-    sx = r[None, :] * s[:, None] + origin[:, 0:1]          # (B, S)
-    sy = r[None, :] * s[:, None] + origin[:, 1:2]
+    # Reference grid_sample(align_corners=False) semantics — must stay equal
+    # to `geometry/crop.crop_source_coords`.
+    s = (2.0 * crop_params[..., 2:4]) / out_size           # (B, 2)
+    origin = crop_params[..., :2] - crop_params[..., 2:4]  # (B, 2) [x, y]
+    r = jnp.arange(out_size, dtype=f32) + 0.5
+    sx = r[None, :] * s[:, 0:1] + origin[:, 0:1] - 0.5     # (B, S)
+    sy = r[None, :] * s[:, 1:2] + origin[:, 1:2] - 0.5
     wx = jnp.maximum(
         0.0, 1.0 - jnp.abs(sx[..., None] - jnp.arange(W, dtype=f32))
     ).astype(image.dtype)                                  # (B, S, W)

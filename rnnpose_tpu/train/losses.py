@@ -19,14 +19,22 @@ Re-designs of the reference `model/losses.py` and
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import TYPE_CHECKING, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..geometry import lm as lm_lib
-from ..models.refiner import EPS, RefinerOutputs
 from ..geometry.precise import peinsum, pmatmul
+
+if TYPE_CHECKING:  # annotation-only: a runtime import of models.refiner
+    # would run models/__init__ and close an import cycle back into this
+    # partially-initialized module (rnnpose.py reads CircleLossConfig at
+    # class-definition time).
+    from ..models.refiner import RefinerOutputs
+
+EPS = 1e-5  # depth epsilon, kept equal to models.refiner.EPS
+            # (reference `PoseRefiner.py:21`)
 
 __all__ = [
     "CircleLossConfig",
@@ -206,15 +214,30 @@ def refiner_loss(
     point_valid: Optional[jnp.ndarray] = None,
     cfg: RefinerLossConfig = RefinerLossConfig(),
     gru_iters: int = 4,
+    legacy_tij_clobber: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Per-iteration motion losses over the refinement history
-    (reference `compute_loss`, `PoseRefiner.py:378-426`)."""
+    (reference `compute_loss`, `PoseRefiner.py:378-426`).
+
+    `legacy_tij_clobber` reproduces a reference aliasing quirk, verified in
+    `tests/test_dress_rehearsal.py`: `Tij.identity_()` at each render
+    iteration's top (`PoseRefiner.py:242`) rebinds `.G` on the SAME object
+    already appended to `residual_pose_history`, so the stored Tij of the
+    LAST inner iteration of every non-final render iter reads as identity by
+    loss time. Its pcalign/reproj terms become constants (no gradient) —
+    i.e. those iterations are silently excluded from pose-loss training.
+    The released weights were trained this way; default True for parity.
+    """
     T = outs.Tij_history.shape[0]
+    eye4 = jnp.eye(4, dtype=outs.Tij_history.dtype)
 
     def one_iter(i):
         depth = outs.syn_depth_history[i // gru_iters] + EPS
         intr = outs.intrinsics_history[i]
         Tij = outs.Tij_history[i]
+        if legacy_tij_clobber:
+            clobbered = (i % gru_iters == gru_iters - 1) & (i < T - gru_iters)
+            Tij = jnp.where(clobbered, eye4, Tij)
         Gij = outs.Tij_gt_history[i]
         flow_pred, vp = lm_lib.induced_flow(Tij, depth, intr)
         flow_star, vs = lm_lib.induced_flow(Gij, depth, intr)

@@ -104,9 +104,39 @@ def install_reference(monkeypatch=None):
             sys.modules[name] = mod
 
     if "cv2" not in sys.modules:
-        # PoseRefiner imports cv2 at module scope but the paths we exercise
-        # never call into it.
-        sys.modules["cv2"] = types.ModuleType("cv2")
+        # PoseRefiner's crop path calls cv2.getAffineTransform
+        # (`PoseRefiner.py:184,199`); implement its exact semantics (the 2x3
+        # affine M with M @ [src; 1] = dst for the 3 point pairs) so the full
+        # refiner forward can run for the dress-rehearsal A/B.
+        import numpy as _np
+
+        def getAffineTransform(src, dst):
+            # cv2 tolerates (3,2), (3,1,2) and (3,2,1) point layouts; the
+            # reference passes (3,2,1) (crop_center rows are (1,) arrays).
+            src = _np.asarray(src, _np.float64).reshape(3, 2)
+            dst = _np.asarray(dst, _np.float64).reshape(3, 2)
+            A = _np.concatenate([src, _np.ones((3, 1))], axis=1)  # (3, 3)
+            # Solve A @ M.T = dst  ->  M = (A^-1 dst)^T, shape (2, 3)
+            return _np.linalg.solve(A, dst).T
+
+        m = types.ModuleType("cv2")
+        m.getAffineTransform = getAffineTransform
+        sys.modules["cv2"] = m
+
+    if "transforms3d" not in sys.modules:
+        # utils/pose_utils.py imports transforms3d.quaternions/euler at module
+        # scope; the paths we exercise (pose_padding) never call into them.
+        def _unavailable(*a, **k):
+            raise NotImplementedError("transforms3d shim: not implemented")
+
+        root = types.ModuleType("transforms3d")
+        root.__path__ = []
+        for sub in ("quaternions", "euler", "axangles"):
+            m = types.ModuleType(f"transforms3d.{sub}")
+            m.__getattr__ = lambda name: _unavailable
+            sys.modules[f"transforms3d.{sub}"] = m
+            setattr(root, sub, m)
+        sys.modules["transforms3d"] = root
 
     # `config.default.get_cfg` (yacs singleton) -> fixed constants. Installed
     # as a package so `from config.default import get_cfg` resolves to the
@@ -123,6 +153,101 @@ def install_reference(monkeypatch=None):
         sys.modules["config.default"] = mod
 
     return REFERENCE_ROOT
+
+
+def make_fake_renderer(verts, faces, colors, chunk=64):
+    """A drop-in for the reference's `DiffRendererWrapper` backed by OUR
+    rasterizer, for the dress-rehearsal A/B (VERDICT r1 #9).
+
+    Both the torch reference (through this shim) and the flax model (its
+    in-graph raster) then render with the same rasterizer, so the A/B
+    isolates everything downstream of rendering: crop, encoders, corr, GRU,
+    similarity weighting, LM, pose composition. The rasterizer itself has
+    its own analytic tests (`tests/test_render.py`, `test_pallas_raster.py`).
+
+    Interface mirrored from `geometry/diff_render_optim.py:405-505`:
+      * `__call__(model_names, vert_attribute, T, K, render_image_size,
+        near, far, render_tex)` -> (color (B,3+C,H,W), depth (B,1,H,W) with
+        -1 background, like pytorch3d zbuf);
+      * `render_depth(...)` -> (B,1,H,W);
+      * `render_pointcloud(...)` -> single-pixel scatter of vertex depths at
+        round(uv).clamp (`diff_render_optim.py:369-402`), defining the crop
+        mask exactly as the reference does.
+    """
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+    from rnnpose_tpu.render.raster import interpolate_attributes, rasterize
+
+    verts = np.asarray(verts, np.float32)
+    faces_j = jnp.asarray(np.asarray(faces, np.int32))
+    colors = np.asarray(colors, np.float32)
+
+    def _K_vec(K):
+        K = np.asarray(K, np.float32)
+        return jnp.asarray(
+            np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+        )
+
+    def _verts_cam(T):
+        T = np.asarray(T, np.float32)
+        R, t = T[:, :3, :3], T[:, :3, 3]
+        return jnp.asarray(
+            np.einsum("vj,bij->bvi", verts, R) + t[:, None, :]
+        )
+
+    class FakeRenderer(torch.nn.Module):
+        def forward(self, model_names, vert_attribute, T, K,
+                    render_image_size, near=0.1, far=6, render_tex=False):
+            h, w = render_image_size
+            vc = _verts_cam(T.detach().cpu().numpy())
+            frags = rasterize(vc, faces_j, _K_vec(K.detach().cpu().numpy()), h, w,
+                              chunk=chunk)
+            attrs = np.asarray(vert_attribute.detach().cpu().numpy(), np.float32)
+            full = jnp.asarray(
+                np.concatenate(
+                    [np.broadcast_to(colors, (attrs.shape[0],) + colors.shape),
+                     attrs], axis=-1)
+            )
+            amap = interpolate_attributes(frags, faces_j, full)  # (B,H,W,3+C)
+            hit = np.asarray(frags.face_id >= 0)
+            depth = np.where(hit, np.asarray(frags.zbuf), -1.0)
+            color = np.moveaxis(np.asarray(amap), -1, 1)
+            return (
+                torch.from_numpy(np.ascontiguousarray(color)),
+                torch.from_numpy(depth[:, None].astype(np.float32)),
+            )
+
+        def render_depth(self, model_names, T, K, render_image_size,
+                         near=0.1, far=6):
+            h, w = render_image_size
+            vc = _verts_cam(T.detach().cpu().numpy())
+            frags = rasterize(vc, faces_j, _K_vec(K.detach().cpu().numpy()), h, w,
+                              chunk=chunk)
+            hit = np.asarray(frags.face_id >= 0)
+            depth = np.where(hit, np.asarray(frags.zbuf), -1.0)
+            return torch.from_numpy(depth[:, None].astype(np.float32))
+
+        def render_pointcloud(self, model_names, T, K, render_image_size,
+                              near=0.1, far=6):
+            h, w = render_image_size
+            T = np.asarray(T.detach().cpu().numpy(), np.float32)
+            K = np.asarray(K.detach().cpu().numpy(), np.float32)
+            outs = []
+            for b in range(T.shape[0]):
+                Xc = verts @ T[b, :3, :3].T + T[b, :3, 3]
+                x = Xc @ K[b].T
+                depth = x[:, 2]
+                uv = x[:, :2] / x[:, 2:3]
+                out = np.zeros((1, 1, h, w), np.float32)
+                yi = np.clip(np.round(uv[:, 1]).astype(np.int64), 0, h - 1)
+                xi = np.clip(np.round(uv[:, 0]).astype(np.int64), 0, w - 1)
+                out[0, 0, yi, xi] = depth
+                outs.append(out)
+            return torch.from_numpy(np.concatenate(outs, axis=0))
+
+    return FakeRenderer()
 
 
 def no_pretrained_loads(monkeypatch):
