@@ -136,16 +136,22 @@ def kpconv(
 
 
 def max_pool(features: jnp.ndarray, pool_inds: jnp.ndarray) -> jnp.ndarray:
-    """Max over pooled neighbors (reference `max_pool`, shadow -> -inf)."""
+    """Max over pooled neighbors (reference `max_pool`,
+    `kpconv_blocks.py:88-104`).
+
+    The reference pads a ZERO shadow row and takes the max over all K
+    entries including shadows — so the result is effectively clamped below
+    at 0 whenever any shadow index is present (which is nearly always, the
+    neighbor lists being truncated radius searches). Verified
+    activation-for-activation in `tests/test_torch_parity.py`
+    (test_kpfcnn_tower_parity).
+    """
     M = features.shape[0]
     valid = pool_inds < M
     idx = jnp.where(valid, pool_inds, 0)
     x = features[idx]                                  # (N, K, C)
-    x = jnp.where(valid[..., None], x, -jnp.inf)
-    out = jnp.max(x, axis=1)
-    # Rows with zero valid neighbors -> 0.
-    any_valid = jnp.any(valid, axis=-1, keepdims=True)
-    return jnp.where(any_valid, out, 0.0)
+    x = jnp.where(valid[..., None], x, 0.0)            # shadow row = zeros
+    return jnp.max(x, axis=1)
 
 
 def closest_pool(features: jnp.ndarray, pool_inds: jnp.ndarray) -> jnp.ndarray:

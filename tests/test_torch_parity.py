@@ -404,3 +404,64 @@ def test_unary_block_parity(rng):
     params = {"params": {"mlp": {"kernel": jnp.asarray(np.transpose(w))}}}
     fout = np.asarray(fun.apply(params, xj, mask))[0]
     np.testing.assert_allclose(fout, tout, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full KPFCNN tower (`model/descriptor3D.py:10-200`): encoder + bottleneck/
+# proj + decoder with skip concats, converted through the production
+# full-checkpoint route. The layer-level tests above prove each block; this
+# proves the composition (strided widths, skip wiring, LastUnary slice,
+# InstanceNorm-as-batch-norm quirk) end to end.
+# ---------------------------------------------------------------------------
+
+def test_kpfcnn_tower_parity(rng):
+    import dataclasses
+
+    import torch as _torch
+    from model.descriptor3D import KPSuperpoint3Dv2
+
+    from rnnpose_tpu.data import pyramid as pyr_lib
+    from rnnpose_tpu.models.convert import load_full_checkpoint
+    from rnnpose_tpu.models.kpconv_net import KPConvConfig, KPFCNN
+
+    # --- one shared cloud + pyramid ---
+    cloud = (rng.rand(220, 3).astype(np.float32) - 0.5) * 0.12
+    kp_cfg = KPConvConfig(
+        num_layers=4, first_subsampling_dl=0.008, conv_radius=2.5,
+        kp_extent=2.0, num_kernel_points=15, in_features_dim=1,
+        first_feats_dim=128, final_feats_dim=32, gnn_feats_dim=128,
+        normalize_output=True,
+    )
+    limits = pyr_lib.calibrate_neighbor_limits([cloud], kp_cfg)
+    pyr = pyr_lib.build_pyramid_arrays(cloud, kp_cfg, limits)
+
+    # --- reference batch format: stacked single cloud, shadow = N_support ---
+    batch = {
+        "features": _torch.ones((len(cloud), 1)),
+        "points": [_torch.from_numpy(p) for p in pyr.points],
+        "neighbors": [_torch.from_numpy(n.astype(np.int64)) for n in pyr.neighbors],
+        "pools": [_torch.from_numpy(p.astype(np.int64)) for p in pyr.pools],
+        "upsamples": [_torch.from_numpy(u.astype(np.int64)) for u in pyr.upsamples],
+        "stack_lengths": [[len(p), 0] for p in pyr.points],
+    }
+    cfg_t = _reference_kpconv_config(32, True)
+    cfg_t.first_subsampling_dl = 0.008
+    tnet = KPSuperpoint3Dv2(cfg_t).eval()
+    with torch.no_grad():
+        tout = tnet(batch).numpy()                    # (N0, 32)
+
+    # --- flax twin with converted weights ---
+    fnet = KPFCNN(kp_cfg)
+    jpyr = pyr_lib.pad_and_batch_pyramids([pyr])      # exact sizes, no pad
+    jpyr = jax.tree.map(jnp.asarray, jpyr)
+    params = fnet.init(jax.random.PRNGKey(0), jpyr)
+    sd = {f"hybrid_desc_net.corr_fea_extractor_3d.{k}": v.detach().numpy()
+          for k, v in tnet.state_dict().items()}
+    wrapped = {"params": {"hybrid": {"desc3d": params["params"]}}}
+    new, skipped, ignored = load_full_checkpoint(wrapped, sd, strict=True)
+    assert skipped == []
+    fout = np.asarray(
+        fnet.apply({"params": new["params"]["hybrid"]["desc3d"]}, jpyr)
+    )[0]                                              # (N0, 32)
+
+    np.testing.assert_allclose(fout, tout, atol=5e-4, rtol=1e-3)
