@@ -123,6 +123,18 @@ def install_reference(monkeypatch=None):
         m.getAffineTransform = getAffineTransform
         sys.modules["cv2"] = m
 
+    for name in ("kornia", "apex", "apex.amp"):
+        # model/losses.py imports kornia + apex.amp at module scope; the
+        # losses we A/B (MetricLoss, PointAlignmentLoss) never call them.
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    if not hasattr(sys.modules["apex"], "amp"):
+        sys.modules["apex"].amp = sys.modules["apex.amp"]
+    # losses.py decorates methods with @amp.float_function at class scope.
+    sys.modules["apex.amp"].float_function = lambda f: f
+
     if "transforms3d" not in sys.modules:
         # utils/pose_utils.py imports transforms3d.quaternions/euler at module
         # scope; the paths we exercise (pose_padding) never call into them.

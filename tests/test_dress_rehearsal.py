@@ -121,6 +121,9 @@ def _torch_refiner(sc):
         "OPTIM_ITER_COUNT": 1,
         "ONLINE_CROP": True,
         "RESCALE_IMAGES": False,
+        "TRAIN_FLOW_WEIGHT": 0.5,
+        "TRAIN_REPROJ_WEIGHT": 0.3,
+        "TRAIN_PCALIGN_WEIGHT": 1.0,
         "raft": EasyDict({
             "small": False, "mixed_precision": False, "fea_net": "default",
             "input_dim": 3, "pretrained_model": None, "iters": 1,
@@ -263,3 +266,38 @@ def test_pose_refiner_dress_rehearsal(rng):
     np.testing.assert_allclose(T_f, T_t, atol=5e-4)
     # And it actually moved (the refiner did something).
     assert np.abs(T_f - sc["T_init"]).max() > 1e-3
+
+    # 6. Training loss on the SAME outputs: reference `compute_loss`
+    # (`PoseRefiner.py:378-430` + PointAlignmentLoss, incl. the clobbered-Tij
+    # quirk) vs `train.losses.refiner_loss`. Note compute_loss clears the
+    # torch histories, so it must run after stages 1-5.
+    from functools import partial
+
+    from model.losses import PointAlignmentLoss
+
+    from rnnpose_tpu.train.losses import RefinerLossConfig, refiner_loss
+
+    pts = sc["mesh"].verts[: sc["n"]]
+    with torch.no_grad():
+        loss3d = partial(
+            PointAlignmentLoss().forward,
+            points=torch.from_numpy(pts)[None],
+        )
+        mres = tref.compute_loss(
+            tout["Tij_gt"], tout["syn_depth"],
+            intrinsics=torch.from_numpy(sc["K33"]), loss3d=loss3d,
+        )
+    pts_pad = np.zeros((1, V_PAD, 3), np.float32)
+    pts_pad[:, : sc["n"]] = pts
+    pvalid = (np.arange(V_PAD) < sc["n"]).astype(np.float32)[None]
+    fres = refiner_loss(
+        fouts, jnp.asarray(pts_pad), jnp.asarray(pvalid),
+        cfg=RefinerLossConfig(
+            flow_weight=0.5, reproj_weight=0.3, pcalign_weight=1.0
+        ),
+        gru_iters=2,
+    )
+    np.testing.assert_allclose(
+        float(fres["total_loss"]), float(mres["total_loss"]),
+        rtol=2e-3, err_msg="training loss diverges",
+    )

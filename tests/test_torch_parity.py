@@ -465,3 +465,92 @@ def test_kpfcnn_tower_parity(rng):
     )[0]                                              # (N0, 32)
 
     np.testing.assert_allclose(fout, tout, atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MetricLoss (circle loss + recall, `model/losses.py:158-305`) and
+# PointAlignmentLoss (`losses.py:307-340`)
+# ---------------------------------------------------------------------------
+
+def test_circle_loss_parity(rng):
+    from easydict import EasyDict
+    from model.losses import MetricLoss, PointAlignmentLoss
+
+    from rnnpose_tpu.train.losses import (
+        CircleLossConfig,
+        circle_loss,
+        match_recall,
+        point_alignment_loss,
+    )
+
+    P, C = 96, 32
+    src = rng.rand(P, 3).astype(np.float32) * 0.1
+    # Targets: half near-coincident (positives), half far (negatives).
+    tgt = src.copy()
+    tgt[P // 2:] += 0.2
+    tgt += rng.randn(P, 3).astype(np.float32) * 0.002
+    f1 = rng.randn(P, C).astype(np.float32)
+    f1 /= np.linalg.norm(f1, axis=-1, keepdims=True)
+    f2 = rng.randn(P, C).astype(np.float32)
+    f2 /= np.linalg.norm(f2, axis=-1, keepdims=True)
+    corr = np.stack([np.arange(P), np.arange(P)], axis=-1)
+
+    tml = MetricLoss(EasyDict({
+        "pos_margin": 0.1, "neg_margin": 1.4, "max_points": 256,
+        "safe_radius": 0.02, "matchability_radius": 0.06, "pos_radius": 0.01,
+    }))
+    with torch.no_grad():
+        tstats = tml(
+            torch.from_numpy(src), torch.from_numpy(tgt),
+            torch.from_numpy(f1), torch.from_numpy(f2),
+            torch.from_numpy(corr), None, None,
+        )
+
+    cfg = CircleLossConfig(pos_radius=0.011, safe_radius=0.02)
+    valid = jnp.ones((P,))
+    f_loss = circle_loss(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(f1), jnp.asarray(f2),
+        valid, cfg,
+    )
+    f_recall = match_recall(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(f1), jnp.asarray(f2),
+        valid, cfg,
+    )
+    np.testing.assert_allclose(
+        float(f_loss), float(tstats["circle_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(f_recall), float(tstats["recall"]), rtol=1e-5
+    )
+
+    # Padding invariance against the torch oracle: padded rows change nothing.
+    pad = 32
+    src_p = np.concatenate([src, np.full((pad, 3), 1e6, np.float32)])
+    tgt_p = np.concatenate([tgt, np.full((pad, 3), 1e6, np.float32)])
+    f1_p = np.concatenate([f1, np.zeros((pad, C), np.float32)])
+    f2_p = np.concatenate([f2, np.zeros((pad, C), np.float32)])
+    valid_p = jnp.concatenate([valid, jnp.zeros((pad,))])
+    f_loss_p = circle_loss(
+        jnp.asarray(src_p), jnp.asarray(tgt_p),
+        jnp.asarray(f1_p), jnp.asarray(f2_p), valid_p, cfg,
+    )
+    np.testing.assert_allclose(float(f_loss_p), float(f_loss), rtol=1e-5)
+
+    # PointAlignmentLoss on random poses.
+    R1, _ = np.linalg.qr(rng.randn(3, 3)); R2, _ = np.linalg.qr(rng.randn(3, 3))
+    t1 = rng.randn(3).astype(np.float32); t2 = rng.randn(3).astype(np.float32)
+    pts = rng.randn(1, 50, 3).astype(np.float32)
+    with torch.no_grad():
+        t_pa = PointAlignmentLoss()(
+            torch.from_numpy(R1.astype(np.float32))[None],
+            torch.from_numpy(t1)[None],
+            torch.from_numpy(R2.astype(np.float32))[None],
+            torch.from_numpy(t2)[None],
+            torch.from_numpy(pts),
+        )
+    f_pa = point_alignment_loss(
+        jnp.asarray(R1.astype(np.float32))[None], jnp.asarray(t1)[None],
+        jnp.asarray(R2.astype(np.float32))[None], jnp.asarray(t2)[None],
+        jnp.asarray(pts),
+    )
+    np.testing.assert_allclose(float(f_pa), float(t_pa), rtol=1e-5)
