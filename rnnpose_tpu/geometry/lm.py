@@ -50,6 +50,12 @@ class LMConfig(NamedTuple):
     ep_lambda: float = 100.0  # additive damping:       H += ep_lambda * I
     delta_clamp: float = 1.0  # clamp on the twist update
     min_depth: float = 0.1    # validity threshold on source depth
+    expm_approx_grad: bool = True  # back the pose increment's expm with the
+                                   # reference's small-angle VJP
+                                   # (`se3.py:212-222`) — gradient-parity
+                                   # verified in tests/test_torch_parity.py
+                                   # (test_lm_gradient_parity). False = exact
+                                   # expm differentials (se3.se3_expm).
 
 
 def solve_spd(H: jnp.ndarray, b: jnp.ndarray, delta_clamp: float = 1.0) -> jnp.ndarray:
@@ -150,7 +156,7 @@ def _lm_step(
     H = H + cfg.ep_lambda * eye + cfg.lm_lambda * diag[..., None] * eye
 
     delta = solve_spd(H, b, cfg.delta_clamp)
-    return se3_ops.se3_increment(T, delta)
+    return se3_ops.se3_increment(T, delta, approx_grad=cfg.expm_approx_grad)
 
 
 def reprojection_optim(

@@ -201,11 +201,23 @@ def _expm_ag_fwd(xi):
 
 
 def _expm_ag_bwd(T, g):
-    # grad_k = sum_ij g_ij * (G_k @ T)_ij  for the 6 generators G_k.
-    GT = jnp.stack(
-        [pmatmul(hat(jnp.eye(6, dtype=T.dtype)[k]), T) for k in range(6)], axis=0
+    # The reference backward (`se3.py:212-222`) is the expm VJP linearized at
+    # IDENTITY — grad_k = <dL/dT, G_k> for the se(3) generators, with no
+    # dependence on the output at all: [g_03, g_13, g_23 | g_21-g_12,
+    # g_02-g_20, g_10-g_01] in [v, w] layout. Verified gradient-for-gradient
+    # against torch in tests/test_torch_parity.py::test_lm_gradient_parity.
+    del T
+    grad = jnp.stack(
+        [
+            g[..., 0, 3],
+            g[..., 1, 3],
+            g[..., 2, 3],
+            g[..., 2, 1] - g[..., 1, 2],
+            g[..., 0, 2] - g[..., 2, 0],
+            g[..., 1, 0] - g[..., 0, 1],
+        ],
+        axis=-1,
     )
-    grad = peinsum("...ij,k...ij->...k", g, GT)
     return (grad,)
 
 

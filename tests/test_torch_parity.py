@@ -554,3 +554,71 @@ def test_circle_loss_parity(rng):
         jnp.asarray(pts),
     )
     np.testing.assert_allclose(float(f_pa), float(t_pa), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LM gradient parity: d(loss)/d(target, weight, T) through the damped
+# Gauss-Newton solve (`transformation.py:265-316` + the OptNet cholesky
+# backward `geometry/cholesky.py:9-28` + the expm VJP `se3.py:212-222`).
+# The reference backs expm with a small-angle approximation; ours is exact
+# (`geometry/se3.se3_expm`) — the tolerance below bounds that difference at
+# LM-sized updates.
+# ---------------------------------------------------------------------------
+
+def test_lm_gradient_parity(rng):
+    from geometry.transformation import SE3Sequence
+
+    from rnnpose_tpu.geometry import lm as lm_lib
+    from rnnpose_tpu.geometry import se3 as se3_lib
+
+    H = W = 16
+    depth_np = (0.45 + rng.rand(1, H, W) * 0.1).astype(np.float32)
+    K_vec = np.array([[60.0, 60.0, 8.0, 8.0]], np.float32)
+    K33 = np.array([[[60, 0, 8], [0, 60, 8], [0, 0, 1]]], np.float32)
+    xi = np.array([[0.01, -0.02, 0.015, 0.02, -0.01, 0.03]], np.float32)
+    T0 = np.array(se3_lib.se3_expm(jnp.asarray(xi)), np.float32)
+    grid = np.stack(
+        np.meshgrid(np.arange(W, dtype=np.float32),
+                    np.arange(H, dtype=np.float32), indexing="xy"), -1)
+    target_np = (grid[None] + rng.randn(1, H, W, 2).astype(np.float32) * 0.5)
+    weight_np = (0.3 + 0.6 * rng.rand(1, H, W, 1)).astype(np.float32)
+    G_rand = rng.randn(1, 4, 4).astype(np.float32)
+
+    # --- torch ---
+    t_T = torch.from_numpy(T0[:, None]).clone().requires_grad_(True)
+    t_tgt = torch.from_numpy(target_np[:, None]).clone().requires_grad_(True)
+    t_w = torch.from_numpy(weight_np[:, None]).clone().requires_grad_(True)
+    Ts = SE3Sequence(matrix=t_T)
+    T_out = Ts.reprojction_optim(
+        t_tgt, t_w, torch.from_numpy(depth_np[:, None]),
+        torch.from_numpy(K33), num_iters=2,
+    )
+    loss_t = (T_out.G[:, 0] * torch.from_numpy(G_rand)).sum()
+    loss_t.backward()
+
+    # --- jax ---
+    def f(Tm, tgt, w1):
+        w2 = jnp.broadcast_to(w1, tgt.shape)
+        T_ref = lm_lib.reprojection_optim(
+            Tm, tgt, w2, jnp.asarray(depth_np), jnp.asarray(K_vec),
+            num_iters=2,
+        )
+        return jnp.sum(T_ref * jnp.asarray(G_rand))
+
+    loss_f, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(T0), jnp.asarray(target_np), jnp.asarray(weight_np)
+    )
+
+    np.testing.assert_allclose(float(loss_f), float(loss_t), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads[1]), t_tgt.grad[:, 0].numpy(), atol=2e-4, rtol=2e-3,
+        err_msg="d/d(target) diverges",
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[2]), t_w.grad[:, 0].numpy(), atol=5e-4, rtol=2e-3,
+        err_msg="d/d(weight) diverges",
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[0]), t_T.grad[:, 0].numpy(), atol=5e-4, rtol=5e-3,
+        err_msg="d/d(T_init) diverges",
+    )
