@@ -169,6 +169,9 @@ class LinemodSynRealDataset(Dataset):
         # cluster vertices (surface-uniform, comparable to the common
         # subsampled-cloud ADD protocol).
         m = mesh_lib.simplify_mesh(m, self.max_verts, self.max_faces)
+        # Consistent outward winding (host-side, once): enables the
+        # backface-culled raster sweep (`RefinerConfig.backface_cull`).
+        m = mesh_lib.orient_faces_outward(m)
         n_real_v, n_real_f = m.num_verts, m.num_faces
         m = mesh_lib.pad_mesh(m, self.max_verts, self.max_faces)
 

@@ -95,7 +95,10 @@ def make_synthetic_inputs(
     B, S = cfg.batch_size, cfg.image_size
 
     mesh = make_icosphere(cfg.subdivisions, cfg.object_scale)
-    mesh = mesh_lib.decimate_mesh(mesh, cfg.num_faces)
+    # Same load path as LINEMOD: watertight vertex-clustering simplification
+    # (hole-free renders) + consistent outward winding (enables culling).
+    mesh = mesh_lib.simplify_mesh(mesh, cfg.num_verts, cfg.num_faces)
+    mesh = mesh_lib.orient_faces_outward(mesh)
     mesh = mesh_lib.pad_mesh(mesh, cfg.num_verts, cfg.num_faces)
 
     intrinsics = np.tile(

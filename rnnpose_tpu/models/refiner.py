@@ -89,7 +89,15 @@ class RefinerConfig:
     backface_cull: bool = False    # cull faces pointing away from the camera
                                    # (normal test with a silhouette margin)
                                    # and compact the sweep to 5/8 of the face
-                                   # budget - needs consistent mesh winding
+                                   # budget. Winding is guaranteed by
+                                   # render/mesh.orient_faces_outward on the
+                                   # load paths, but measured SLOWER on v5e
+                                   # at 4096 faces (B=1: 64.5 vs 85.9 fps;
+                                   # B=8: 79.0 vs 125.3): the per-pose
+                                   # compaction sort + losing the fused
+                                   # raster+attr kernel outweigh the 3/8
+                                   # face saving. Kept selectable for much
+                                   # larger face budgets.
     lm_res: str = "eighth"         # LM residual grid: 'eighth' (default,
                                    # TPU-first: normal equations accumulated
                                    # on the 1/8 grid the flow actually lives

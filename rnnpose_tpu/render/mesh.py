@@ -289,6 +289,81 @@ def _cluster_simplify_once(
     )
 
 
+def orient_faces_outward(mesh: TriMesh) -> TriMesh:
+    """Repair face winding: consistent orientation per connected component,
+    then flip components whose signed volume is negative (outward normals).
+
+    Host-side, once at load. Enables the refiner's backface-culled raster
+    sweep (`RefinerConfig.backface_cull`), which assumes consistently-wound
+    outward faces. BFS over the shared-edge adjacency; O(F log F).
+    """
+    v = mesh.verts[: mesh.num_verts]
+    f = mesh.faces[: mesh.num_faces].copy()
+    F = len(f)
+    if F == 0:
+        return mesh
+
+    # Edge -> incident faces map (undirected keys, directed use recorded).
+    from collections import defaultdict
+
+    edge_faces = defaultdict(list)
+    for fi in range(F):
+        a, b, c = f[fi]
+        for (p, q) in ((a, b), (b, c), (c, a)):
+            key = (p, q) if p < q else (q, p)
+            edge_faces[key].append((fi, p < q))  # (face, used-in-key-order)
+
+    visited = np.zeros(F, bool)
+    flip = np.zeros(F, bool)
+    import collections
+
+    for seed in range(F):
+        if visited[seed]:
+            continue
+        comp = [seed]
+        visited[seed] = True
+        queue = collections.deque([seed])
+        while queue:
+            fi = queue.popleft()
+            a, b, c = f[fi]
+            tri = ((a, b), (b, c), (c, a))
+            if flip[fi]:
+                tri = ((b, a), (c, b), (a, c))
+            for (p, q) in tri:
+                key = (p, q) if p < q else (q, p)
+                for fj, _ in edge_faces[key]:
+                    if fj == fi or visited[fj]:
+                        continue
+                    aj, bj, cj = f[fj]
+                    trij = ((aj, bj), (bj, cj), (cj, aj))
+                    # Consistent orientation: the shared edge must appear in
+                    # OPPOSITE directions in the two faces. (p, q) is fi's
+                    # EFFECTIVE direction (flip-adjusted above), so fj flips
+                    # iff its stored winding carries the edge the same way.
+                    flip[fj] = (p, q) in trij
+                    visited[fj] = True
+                    comp.append(fj)
+                    queue.append(fj)
+        # Outward test per component: signed volume about the centroid.
+        comp = np.asarray(comp)
+        fc = f[comp]
+        swap = flip[comp]
+        p0, p1, p2 = v[fc[:, 0]], v[fc[:, 1]], v[fc[:, 2]]
+        p1s = np.where(swap[:, None], p2, p1)
+        p2s = np.where(swap[:, None], p1, p2)
+        ctr = (p0.mean(0) + p1s.mean(0) + p2s.mean(0)) / 3.0
+        vol = np.einsum(
+            "fi,fi->f", p0 - ctr, np.cross(p1s - ctr, p2s - ctr)
+        ).sum()
+        if vol < 0:
+            flip[comp] = ~flip[comp]
+
+    out = f.copy()
+    out[flip] = out[flip][:, [0, 2, 1]]
+    return TriMesh(mesh.verts, out.astype(np.int32), mesh.vert_colors,
+                   mesh.num_verts, mesh.num_faces)
+
+
 def simplify_mesh(mesh: TriMesh, max_verts: int, max_faces: int) -> TriMesh:
     """Simplify to fit (max_verts, max_faces) via vertex clustering.
 

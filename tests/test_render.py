@@ -244,3 +244,30 @@ def test_simplify_mesh_no_interior_holes():
     mask_d = np.asarray(frags_d.face_id >= 0)[0]
     holes_d = int(ndimage.binary_fill_holes(mask_d).sum() - mask_d.sum())
     assert holes_d > 0  # documents why simplify_mesh replaced decimate_mesh
+
+
+def test_orient_faces_outward():
+    """Randomly flipped sphere faces -> consistent outward winding."""
+    from rnnpose_tpu.data.synthetic import make_icosphere
+
+    m = make_icosphere(subdivisions=2, radius=0.1)
+    rs = np.random.RandomState(0)
+    f = m.faces.copy()
+    flipped = rs.rand(len(f)) < 0.5
+    f[flipped] = f[flipped][:, [0, 2, 1]]
+    broken = mesh_lib.TriMesh(m.verts, f, m.vert_colors)
+    fixed = mesh_lib.orient_faces_outward(broken)
+    p0 = fixed.verts[fixed.faces[:, 0]]
+    p1 = fixed.verts[fixed.faces[:, 1]]
+    p2 = fixed.verts[fixed.faces[:, 2]]
+    n = np.cross(p1 - p0, p2 - p0)
+    cent = (p0 + p1 + p2) / 3.0
+    # Sphere: every outward normal points away from the origin.
+    assert (np.einsum("fi,fi->f", n, cent) > 0).all()
+    # Simplified meshes stay orientable too.
+    s = mesh_lib.simplify_mesh(m, 128, 256)
+    s = mesh_lib.orient_faces_outward(s)
+    p0, p1, p2 = (s.verts[s.faces[:, i]] for i in range(3))
+    n = np.cross(p1 - p0, p2 - p0)
+    cent = (p0 + p1 + p2) / 3.0
+    assert (np.einsum("fi,fi->f", n, cent) > 0).mean() > 0.97
