@@ -37,6 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--icp_corr_dist", type=float, default=0.02)
     p.add_argument("--icp_points", type=int, default=1024,
                    help="scene-cloud budget (padded static shape)")
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="frames per forward (class-homogeneous). When it is "
+                        "a multiple of jax.device_count(), batches are "
+                        "sharded across the device mesh — SPMD eval, the "
+                        "TPU analog of the reference's DDP eval loop "
+                        "(reference tools/eval.py runs bs=1 per rank).")
     p.add_argument("--parity", action="store_true",
                    help="reference-exact operating mode: full-res LM "
                         "residuals + similarity weighting, f32 everywhere "
@@ -165,22 +171,42 @@ def main(argv=None):
             blender_to_bop_path=dcfg.get("blender_to_bop_path"),
         )
 
+        eval_batch = max(1, args.eval_batch)
+        n_dev = jax.device_count()
+        shard = eval_batch > 1 and eval_batch % n_dev == 0 and n_dev > 1
+        if shard:
+            from ..parallel.mesh import make_mesh, shard_batch
+
+            mesh = make_mesh()
+
+        def _emit(chunk):
+            # Pad partial chunks by repeating the last frame (static shapes);
+            # only the first len(chunk) predictions are evaluated.
+            n_real = len(chunk)
+            full = chunk + [chunk[-1]] * (eval_batch - n_real)
+            cls = full[0]["class_name"]
+            assets = dataset.class_assets(cls)
+            inputs = jax.tree.map(jnp.asarray, collate_samples(full))
+            if shard:
+                inputs = shard_batch(inputs, mesh, eval_batch)
+            return (
+                inputs, cls, diameter_m(cls),
+                assets.model_points, assets.point_valid, chunk,
+            )
+
         def frame_gen():
             n = len(dataset)
             if args.max_frames:
                 n = min(n, args.max_frames)
+            buffers = {}
             for i in range(jax.process_index(), n, jax.process_count()):
                 s = dataset[i]
                 cls = s["class_name"]
-                assets = dataset.class_assets(cls)
-                yield (
-                    jax.tree.map(jnp.asarray, collate_samples([s])),
-                    cls,
-                    diameter_m(cls),
-                    assets.model_points,
-                    assets.point_valid,
-                    s,
-                )
+                buffers.setdefault(cls, []).append(s)
+                if len(buffers[cls]) == eval_batch:
+                    yield _emit(buffers.pop(cls))
+            for cls in list(buffers):
+                yield _emit(buffers.pop(cls))
 
         frames = frame_gen()
 
@@ -231,50 +257,57 @@ def main(argv=None):
         T_pred = fwd(params, inputs, desc3d, ctx3d)
         T_pred.block_until_ready()
         t_total += time.perf_counter() - t0
-        n_frames += 1
+        # `raw` is None (synthetic), one sample dict, or a list of the
+        # chunk's real samples (batched/sharded path) — padded repeats at
+        # the chunk tail are dropped here.
+        raws = raw if isinstance(raw, list) else None
+        n_real = len(raws) if raws is not None else inputs.image.shape[0]
+        n_frames += n_real
+        T_np = np.asarray(T_pred)[:n_real]
+        T_gt_np = np.asarray(inputs.T_gt)[:n_real]
         scene_kw = {}
         if args.icp:
-            if raw is None:
+            if raws is None:
                 raise SystemExit(
                     "--icp needs real depth frames; it cannot be combined "
                     "with --synthetic (no raw depth on synthetic inputs)."
                 )
             from ..data import preprocess as prep
 
-            depth = raw["depth"]
-            K4 = np.asarray(raw["intrinsics"])
-            K33 = np.asarray(
-                [[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1]], np.float32
-            )
-            pts_cam, _ = prep.mask_depth_to_points(depth, K33)
             m = args.icp_points
-            if len(pts_cam) > m:
-                sel = np.linspace(0, len(pts_cam) - 1, m).astype(np.int64)
-                pts_cam = pts_cam[sel]
-            pad = m - len(pts_cam)
-            valid = np.concatenate(
-                [np.ones(len(pts_cam)), np.zeros(pad)]
-            ).astype(np.float32)
-            pts_cam = np.concatenate(
-                [pts_cam, np.zeros((pad, 3), np.float32)]
-            )
+            clouds, valids = [], []
+            for r in raws:
+                depth = r["depth"]
+                K4 = np.asarray(r["intrinsics"])
+                K33 = np.asarray(
+                    [[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1]],
+                    np.float32,
+                )
+                pts_cam, _ = prep.mask_depth_to_points(depth, K33)
+                if len(pts_cam) > m:
+                    sel = np.linspace(0, len(pts_cam) - 1, m).astype(np.int64)
+                    pts_cam = pts_cam[sel]
+                pad = m - len(pts_cam)
+                valids.append(np.concatenate(
+                    [np.ones(len(pts_cam)), np.zeros(pad)]
+                ).astype(np.float32))
+                clouds.append(np.concatenate(
+                    [pts_cam, np.zeros((pad, 3), np.float32)]
+                ))
             scene_kw = dict(
-                scene_points=pts_cam[None], scene_valid=valid[None]
+                scene_points=np.stack(clouds), scene_valid=np.stack(valids)
             )
         # Proj2D must threshold in original-camera pixels (reference
         # `utils/eval_metric.py:102-110`); the crop intrinsics rescale pixel
         # units and would skew proj5. Poses are camera-frame, so the
         # pre-crop K applies directly.
-        K_eval = (
-            np.asarray(raw["orig_intrinsics"])[None]
-            if raw is not None and "orig_intrinsics" in raw
-            else np.asarray(inputs.intrinsics)
-        )
-        evaluators[cls].evaluate(
-            np.asarray(T_pred), np.asarray(inputs.T_gt), K_eval, **scene_kw,
-        )
+        if raws is not None and all("orig_intrinsics" in r for r in raws):
+            K_eval = np.stack([np.asarray(r["orig_intrinsics"]) for r in raws])
+        else:
+            K_eval = np.asarray(inputs.intrinsics)[:n_real]
+        evaluators[cls].evaluate(T_np, T_gt_np, K_eval, **scene_kw)
         if args.dump_poses:
-            poses_out.setdefault(cls, []).append(np.asarray(T_pred))
+            poses_out.setdefault(cls, []).append(T_np)
         bar.update(n_frames)
 
     results = {}

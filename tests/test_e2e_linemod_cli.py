@@ -120,6 +120,21 @@ def test_train_and_eval_cli_on_linemod_fixture(small_config, tmp_path, monkeypat
     assert overall["seq_len"] == 2
     assert "add01" in overall
 
+    # batched + sharded SPMD eval on the 8-device CPU mesh: one chunk of
+    # 2 real frames padded to eval_batch=8, sharded across the mesh; the
+    # metrics must match the single-stream run up to reduction-order noise
+    # (batching changes XLA's summation order; ADD here is ~1e-9 m).
+    overall_b = eval_main([
+        "--config_path", small_config, "--ckpt_path", ckpt,
+        "--max_frames", "2", "--eval_batch", "8",
+    ])
+    assert overall_b["seq_len"] == 2
+    np.testing.assert_allclose(
+        overall_b["add_dist"], overall["add_dist"], atol=1e-6
+    )
+    for k in ("add01", "add005", "add002", "proj5", "cm5deg5"):
+        assert overall_b[k] == overall[k], k
+
     # same checkpoint with TPU-native ICP against the fixture's depth maps
     overall_icp = eval_main([
         "--config_path", small_config, "--ckpt_path", ckpt,
