@@ -299,7 +299,10 @@ class KPFCNN(nn.Module):
 
         feats = x[..., : cfg.final_feats_dim]
         if cfg.normalize_output:
-            feats = feats / jnp.maximum(
-                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8
-            )
+            # NaN-safe L2 normalize: padded rows are exactly zero (bias-free
+            # last_unary on zeroed inputs) and d||x||/dx at 0 is NaN even
+            # under jnp.maximum (0*inf); clamping the *squared* norm keeps
+            # the backward finite so the mask below can zero it.
+            sq = jnp.sum(jnp.square(feats), axis=-1, keepdims=True)
+            feats = feats * jax.lax.rsqrt(jnp.maximum(sq, 1e-16))
         return feats * pyr.masks[0][..., None]

@@ -128,7 +128,8 @@ class SuperPoint2D(nn.Module):
             da
         ).astype(jnp.float32)
         if self.normalize_output:
-            desc = desc / jnp.maximum(
-                jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
-            )
+            # NaN-safe form (see models/kpconv_net.py): clamp the squared
+            # norm so the backward stays finite at an all-zero pixel.
+            sq = jnp.sum(jnp.square(desc), axis=-1, keepdims=True)
+            desc = desc * jax.lax.rsqrt(jnp.maximum(sq, 1e-16))
         return scores, desc

@@ -75,6 +75,13 @@ def kpconv(
     Returns:
       (N, C_out) output features, normalized by valid-neighbor count.
     """
+    # Kernel dispositions are constants during training (the reference keeps
+    # them as requires_grad=False Parameters, `kpconv_blocks.py:99`). Severing
+    # their gradient here also prevents a real NaN: the kp-grad branch
+    # multiplies the incoming cotangent by the 1e6 shadow-neighbor offsets,
+    # which overflows f32 to +/-inf whenever upstream norms amplify the
+    # cotangent, and the inf sum turns the whole global grad norm NaN.
+    kernel_points = jax.lax.stop_gradient(kernel_points)
     M = s_pts.shape[0]
     valid = neighb_inds < M                            # (N, K)
     idx = jnp.where(valid, neighb_inds, 0)

@@ -48,15 +48,33 @@ def make_train_step(
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        grad_norm = optax.global_norm(grads)
+        # Skip the update entirely when the step produced non-finite
+        # gradients (degenerate sample, overflow in a long norm chain):
+        # clip_by_global_norm would otherwise turn every parameter NaN in
+        # one step. The reference has no such guard — torch propagates the
+        # NaN — but "skip and report" is the TPU-native failure-detection
+        # analog of its skip-degenerate-sample data path (SURVEY §5.3).
+        finite = jnp.isfinite(grad_norm)
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt_state = tx.update(safe_grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+        )
         metrics = {
             "loss": loss,
             "circle_loss": out["circle_loss"],
             "recall": out["recall"],
             "flow_loss": out["flow_loss"],
             "loss_3d_proj": out["loss_3d_proj"],
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
+            "skipped_nonfinite": (~finite).astype(jnp.float32),
         }
         return params, opt_state, metrics
 

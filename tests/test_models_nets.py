@@ -144,3 +144,26 @@ def test_kpfcnn_padding_invariance(rng):
     f2 = np.asarray(m.apply(params, b2j))
     n_real = len(p.points[0])
     np.testing.assert_allclose(f1[0, :n_real], f2[0, :n_real], atol=1e-4)
+
+
+def test_kpfcnn_backward_finite_with_padding(rng):
+    """The output L2-normalize must be NaN-safe at padded rows: their
+    features are exactly zero (bias-free last_unary on zeroed inputs) and
+    d||x||/dx at 0 is NaN unless the *squared* norm is clamped (regression:
+    grad_norm=nan on the LINEMOD fixture's first train step)."""
+    cfg = KPConvConfig(
+        num_layers=2, first_subsampling_dl=0.05, first_feats_dim=8,
+        final_feats_dim=4, gnn_feats_dim=8,
+    )
+    cloud = rng.rand(80, 3).astype(np.float32) * 0.4
+    p = pyr_lib.build_pyramid_arrays(cloud, cfg, [12, 12])
+    sizes = [s + 17 for s in (len(p.points[0]), len(p.points[1]))]
+    batch = jax.tree.map(
+        jnp.asarray, pyr_lib.pad_and_batch_pyramids([p], level_sizes=sizes)
+    )
+    m = KPFCNN(cfg)
+    params = m.init(jax.random.PRNGKey(0), batch)
+    g = jax.grad(lambda pr: jnp.sum(m.apply(pr, batch)))(params)
+    assert all(
+        bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(g)
+    )

@@ -187,6 +187,30 @@ def test_kpconv_linear_influence(rng):
     np.testing.assert_allclose(out, [[0.5]], atol=1e-5)
 
 
+def test_kpconv_kernel_points_get_no_grad(rng):
+    """Kernel dispositions are frozen constants (reference keeps them as
+    requires_grad=False Parameters, `kpconv_blocks.py:99`). Their VJP branch
+    must be severed: with a huge upstream cotangent it multiplies by the 1e6
+    shadow offsets, overflows f32 and NaNs the global grad norm (regression:
+    grad_norm=nan on the LINEMOD fixture's first train step)."""
+    n = 5
+    pts = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(n, 2).astype(np.float32))
+    # one real self-neighbor + two shadows per row
+    inds = jnp.concatenate([jnp.arange(n)[:, None], jnp.full((n, 2), n)], axis=1)
+    kp = jnp.asarray(rng.randn(4, 3).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(4, 2, 3).astype(np.float32))
+    huge_cot = jnp.full((n, 3), 1e35, jnp.float32)
+
+    def f(kp_, w_):
+        out = kpconv_ops.kpconv(pts, pts, inds, feats, kp_, w_, kp_extent=1.0)
+        return jnp.sum(out * huge_cot)
+
+    g_kp, g_w = jax.grad(f, argnums=(0, 1))(kp, w)
+    np.testing.assert_allclose(g_kp, np.zeros_like(g_kp))  # severed
+    assert bool(jnp.isfinite(g_w).all())
+
+
 def test_max_pool_and_closest_pool(rng):
     feats = jnp.asarray([[1.0, -2.0], [3.0, 0.5], [0.0, 7.0]])
     inds = jnp.asarray([[0, 1, 3], [2, 3, 3]])

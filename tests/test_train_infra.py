@@ -188,3 +188,38 @@ def test_sequence_flow_loss_length1_is_gamma_free(rng):
     np.testing.assert_allclose(
         float(l_a), float(jnp.mean(jnp.abs(pred[0] - flow_gt))), rtol=1e-6
     )
+
+
+def test_train_step_skips_nonfinite_update():
+    """A step whose gradients are non-finite must leave params and opt_state
+    untouched and flag skipped_nonfinite=1 (regression: one degenerate batch
+    turned every parameter NaN through clip_by_global_norm)."""
+    import flax.linen as nn
+    from rnnpose_tpu.train.loop import make_train_step
+    from rnnpose_tpu.train.optim import OptimizerConfig, build_optimizer
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=True):
+            w = self.param("w", nn.initializers.ones, (3,))
+            loss = jnp.sum(w) * batch["scale"]
+            z = loss * 0.0
+            return {"loss": loss, "circle_loss": z, "recall": z,
+                    "flow_loss": z, "loss_3d_proj": z}
+
+    model = Toy()
+    params = model.init(jax.random.PRNGKey(0), {"scale": jnp.float32(1.0)})
+    tx = build_optimizer(OptimizerConfig(total_steps=10), params)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, donate=False)
+
+    p1, o1, m1 = step(params, opt_state, {"scale": jnp.float32(jnp.inf)})
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    np.testing.assert_allclose(p1["params"]["w"], params["params"]["w"])
+    for a, b in zip(jax.tree_util.tree_leaves(o1),
+                    jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    p2, _, m2 = step(params, opt_state, {"scale": jnp.float32(1.0)})
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert not np.allclose(p2["params"]["w"], params["params"]["w"])
