@@ -153,9 +153,17 @@ def match_recall(
 def point_alignment_loss(
     R_pred, t_pred, R_tgt, t_tgt, points, point_valid=None
 ) -> jnp.ndarray:
-    """3D alignment: mean_|pred(X) - gt(X)| * 3 over batch
-    (reference `losses.py:307-340`; summed over batch, x3 from the
-    per-coordinate mean)."""
+    """3D alignment: mean_|pred(X) - gt(X)| * 3 per sample, MEAN over batch
+    (reference `losses.py:307-340`; x3 from the per-coordinate mean).
+
+    Batch-reduction note: the reference literally SUMS over the batch (its
+    `loss /= len(points)` is commented out, `losses.py:339`), but it only
+    ever trains at bs=1/GPU where DDP's gradient averaging makes the
+    effective multi-sample semantics a mean. Using the mean here keeps the
+    YAML loss-weight balance (pcalign vs flow, `template_fw0.5.yml:78-81`)
+    batch-size invariant — with a sum, this term silently outweighed the
+    batch-meaned flow term by a factor of B in batched TPU training — and
+    makes data-parallel sharding exactly match bs=1 reference training."""
     diff = peinsum("bij,bnj->bni", R_pred, points) + t_pred[:, None, :]
     diff = diff - (
         peinsum("bij,bnj->bni", R_tgt, points) + t_tgt[:, None, :]
@@ -168,7 +176,7 @@ def point_alignment_loss(
         )
     else:
         per_b = jnp.mean(a, axis=(1, 2))
-    return jnp.sum(per_b * 3.0)
+    return jnp.mean(per_b * 3.0)
 
 
 def sequence_flow_loss(
