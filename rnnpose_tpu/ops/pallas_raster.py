@@ -558,7 +558,11 @@ def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_mxu_ref, face_ref,
                                 tile: int, w_tiles: int, chunk: int,
                                 dpad: int, min_depth: float,
                                 mxu_sweep: bool):
-    b = pl.program_id(0)
+    # ids/counts arrive as per-batch SMEM blocks (NOT scalar prefetch): the
+    # block index maps never depend on them, and whole-array scalar prefetch
+    # is (B*T*nc) i32 of SMEM residency — 1.9 MB > the 1 MB SMEM at B=16 on
+    # the 16384-face LINEMOD pad. Per-b blocks keep SMEM O(T*nc), batch-free.
+    # (ids_ref: (1, T, nc); counts_ref: (1, 1, T).)
     t = pl.program_id(1)
     ty = t // w_tiles
     tx = t % w_tiles
@@ -573,7 +577,7 @@ def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_mxu_ref, face_ref,
 
     def body(j, carry):
         best_z, best_f = carry
-        cid = ids_ref[b, t, j]
+        cid = ids_ref[0, t, j]
         if mxu_sweep:
             # All four affine functionals of the chunk's faces at all tile
             # pixels as ONE exact-f32 MXU contraction (K=3): replaces ~12
@@ -613,14 +617,14 @@ def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_mxu_ref, face_ref,
         jnp.full((n, 1), _FAR, jnp.float32),
         jnp.full((n, 1), -1, jnp.int32),
     )
-    best_z, best_f = jax.lax.fori_loop(0, counts_ref[b, t], body, init)
+    best_z, best_f = jax.lax.fori_loop(0, counts_ref[0, 0, t], body, init)
     best_f = jnp.where(best_z < _FAR, best_f, -1)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     hp = jax.lax.Precision.HIGHEST
 
     def body2(j, acc):
-        cid = ids_ref[b, t, j]
+        cid = ids_ref[0, t, j]
         coef_acc, c0_acc, c1_acc, c2_acc = acc
         fd = face_ref[0, cid]
         ad = attr_ref[0, cid]                                # (3, dpad, chunk)
@@ -645,7 +649,7 @@ def _tiled_attrs_kernel_batched(ids_ref, counts_ref, face_mxu_ref, face_ref,
         return coef_acc, c0_acc, c1_acc, c2_acc
 
     coef9, c0, c1, c2 = jax.lax.fori_loop(
-        0, counts_ref[b, t], body2,
+        0, counts_ref[0, 0, t], body2,
         (
             jnp.zeros((n, 9), jnp.float32),
             jnp.zeros((n, dpad), jnp.float32),
@@ -679,8 +683,11 @@ def zbuffer_sweep_tiled_attrs_batched(
     interpret: bool = False,
 ):
     """Batched `zbuffer_sweep_tiled_attrs`: one kernel over a (B, tiles)
-    grid instead of B serial kernel launches (the scalar-prefetch grid does
-    not vmap; at B=8 the per-launch overhead dominated the raster cost).
+    grid instead of B serial kernel launches (the tiled kernel does not
+    vmap; at B=8 the per-launch overhead dominated the raster cost). The
+    cull tables ride per-(b, t) SMEM blocks, so SMEM stays O(nc) and the
+    batch axis is bounded by VMEM/HBM, not the 1 MB SMEM (B=16 at the
+    16384-face pad used to overflow scalar prefetch).
 
     Args: as the unbatched version but with a leading batch axis:
       face_data (B, F, 16), bbox (B, F, 4), corner_attrs (B, F, 3, D).
@@ -738,48 +745,52 @@ def zbuffer_sweep_tiled_attrs_batched(
         _tiled_attrs_kernel_batched, tile=tile, w_tiles=w_tiles, chunk=chunk,
         dpad=dpad, min_depth=min_depth, mxu_sweep=MXU_SWEEP,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    zt, ft, at = pl.pallas_call(
+        kernel,
         grid=(B, T),
         in_specs=[
             pl.BlockSpec(
-                (1, nc, 4, 4 * chunk), lambda b, t, *_: (b, 0, 0, 0),
+                (1, T, nc), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, T), lambda b, t: (b, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, nc, 4, 4 * chunk), lambda b, t: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nc, 16, chunk), lambda b, t, *_: (b, 0, 0, 0),
+                (1, nc, 16, chunk), lambda b, t: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nc, 3, dpad, chunk), lambda b, t, *_: (b, 0, 0, 0, 0),
+                (1, nc, 3, dpad, chunk), lambda b, t: (b, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, tile, tile), lambda b, t, *_: (b, t, 0, 0),
+                (1, 1, tile, tile), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, tile, tile), lambda b, t, *_: (b, t, 0, 0),
+                (1, 1, tile, tile), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, tile, tile, dpad), lambda b, t, *_: (b, t, 0, 0, 0),
+                (1, 1, tile, tile, dpad), lambda b, t: (b, t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-    )
-    zt, ft, at = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, T, tile, tile), jnp.float32),
             jax.ShapeDtypeStruct((B, T, tile, tile), jnp.int32),
             jax.ShapeDtypeStruct((B, T, tile, tile, dpad), jnp.float32),
         ),
         interpret=interpret,
-    )(ids, counts, face_mxu, face_vmem, attr_vmem)
+    )(ids, counts[:, None, :], face_mxu, face_vmem, attr_vmem)
 
     def untile(a):
         return (
