@@ -118,18 +118,51 @@ def make_synthetic_inputs(
         ]
     T_init = sample_noisy_poses(T_gt, rs)
 
-    # Observed image: rasterize on host-free path is device work; for the
-    # synthetic fixture a cheap vertex-splat 'photo' is enough (the network
-    # never sees real photos in CI either).
+    # Observed image: a real rasterization at the GT pose (colors +
+    # headlight shading — the same appearance model the refiner renders
+    # with), over a noise background, plus mild pixel noise so the domains
+    # are close but not identical. The fixture originally vertex-SPLATTED
+    # dots here; once the mesh load path became hole-free (simplify+orient),
+    # the dotted 'photo' vs dense render domain gap measurably broke fixture
+    # training (overfit_check refined WORSE than init; bisected round 2).
+    from ..render.shading import compute_vertex_normals, headlight_shade
+
+    normals = compute_vertex_normals(mesh.verts, mesh.faces[: mesh.num_faces])
+    verts_cam = (
+        np.einsum("bij,vj->bvi", T_gt[:, :3, :3], mesh.verts)
+        + T_gt[:, None, :3, 3]
+    ).astype(np.float32)
+    attrs_np = np.concatenate(
+        [
+            np.tile(mesh.vert_colors[None], (B, 1, 1)),
+            np.einsum("bij,vj->bvi", T_gt[:, :3, :3], normals),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    face_valid_np = np.arange(cfg.num_faces) < mesh.num_faces
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..render.raster import rasterize_with_vis_attrs
+
+    attr_img, _, fid = jax.jit(
+        rasterize_with_vis_attrs, static_argnames=("h", "w")
+    )(
+        jnp.asarray(verts_cam), jnp.asarray(mesh.faces),
+        jnp.asarray(intrinsics), jnp.asarray(attrs_np), S, S,
+        face_valid=jnp.asarray(face_valid_np),
+    )
+    shaded = np.asarray(
+        headlight_shade(attr_img[..., :3], attr_img[..., 3:6])
+    )
+    fid_np = np.asarray(fid)
+    fg = fid_np >= 0
     image = rs.rand(B, S, S, 3).astype(np.float32) * 0.1
-    uv = _project(mesh.verts, T_gt, intrinsics)
-    for b in range(B):
-        ok = (
-            (uv[b, :, 0] >= 0) & (uv[b, :, 0] < S)
-            & (uv[b, :, 1] >= 0) & (uv[b, :, 1] < S)
-        )
-        xi = uv[b, ok].astype(np.int32)
-        image[b, xi[:, 1], xi[:, 0]] = mesh.vert_colors[ok]
+    image[fg] = np.clip(
+        shaded[fg] + rs.randn(int(fg.sum()), 3).astype(np.float32) * 0.02,
+        0.0, 1.0,
+    )
 
     # KPConv pyramid over the (real) mesh vertices, padded so level 0 size
     # equals the mesh vertex budget (feature/vertex alignment for rendering).
@@ -153,7 +186,6 @@ def make_synthetic_inputs(
     if with_corr:
         P = cfg.num_corr
         n_fg = int(P * 0.9)
-        vis_idx = rs.randint(0, mesh.num_verts, size=n_fg)
         px = np.zeros((B, P, 2), np.int64)
         src_pts = np.full((B, P, 3), 1e6, np.float32)
         tgt_pts = np.full((B, P, 3), 1e6, np.float32)
@@ -161,6 +193,14 @@ def make_synthetic_inputs(
         is_bg = np.ones((B, P), np.float32)
         valid = np.ones((B, P), np.float32)
         for b in range(B):
+            # Sample correspondences from verts actually VISIBLE in this
+            # frame's raster (back-surface verts would pair a front-surface
+            # pixel descriptor with the wrong 3D point and poison the circle
+            # loss — the real pipeline's correspondences come from lifted
+            # depth, which is front-surface by construction).
+            vis_faces = np.unique(fid_np[b][fg[b]])
+            vis_verts = np.unique(mesh.faces[vis_faces].ravel())
+            vis_idx = vis_verts[rs.randint(0, len(vis_verts), size=n_fg)]
             uvb = _project(mesh.verts[vis_idx], T_gt[b : b + 1], intrinsics[b : b + 1])[0]
             pxb = np.clip(np.round(uvb), 0, S - 1).astype(np.int64)
             px[b, :n_fg] = pxb
@@ -175,15 +215,13 @@ def make_synthetic_inputs(
             model_idx=model_idx, is_bg=is_bg, valid=valid,
         )
 
-    from ..render.shading import compute_vertex_normals
-
     mesh_assets = MeshAssets(
         verts=mesh.verts,
         faces=mesh.faces,
         colors=mesh.vert_colors,
         vert_valid=(np.arange(cfg.num_verts) < mesh.num_verts).astype(np.float32),
-        face_valid=(np.arange(cfg.num_faces) < mesh.num_faces),
-        normals=compute_vertex_normals(mesh.verts, mesh.faces[: mesh.num_faces]),
+        face_valid=face_valid_np,
+        normals=normals,
     )
     model_points = np.tile(mesh.verts[None], (B, 1, 1))
     point_valid = np.tile(
