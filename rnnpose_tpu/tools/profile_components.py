@@ -11,28 +11,56 @@ import dataclasses
 import time
 
 
-def timeit(fn, *args, iters=10, name="", vary=None):
-    """Time a jitted fn. `vary`: index of a float-array arg to perturb per
-    iteration — identical repeated executions can be deduplicated by the
-    sandbox's TPU relay, which silently corrupts measurements."""
+def timeit(fn, *args, iters=10, name="", vary=0):
+    """Time a jitted fn with the full anti-relay protocol (BENCHLOG.md):
+
+    * every iteration perturbs the float leaves of `args[vary]` by a
+      fresh epsilon IN-GRAPH — identical repeated executions are
+      deduplicated by the sandbox's TPU relay (its cache persists across
+      processes), which silently corrupts measurements;
+    * iterations are chained (1e-30 × previous output scalar folds into
+      the perturbation) so the relay cannot overlap them across its
+      backend pool — this measures true serialized per-call latency;
+    * the timing window closes on a HOST VALUE READ of the final output:
+      through the relay `block_until_ready()` can return before execution
+      completes (measured 0.16 ms for a 227-GFLOP forward);
+    * one jitted dispatch per iteration — eager per-op perturbation would
+      add tens of ms of relay round-trips to every sample.
+    Entropy-seed the base epsilon so re-runs don't replay cached inputs.
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    args = list(args)
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def _scalar(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        return jnp.sum(jnp.asarray(leaf, jnp.float32).ravel()[:8])
+
+    def step_fn(chain, eps0, *a):
+        a = list(a)
+        eps = eps0 + 1e-30 * chain
+        a[vary] = jax.tree.map(
+            lambda x: x + eps.astype(x.dtype)
+            if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.bfloat16)
+            else x,
+            a[vary],
+        )
+        return _scalar(fn(*a))
+
+    step = jax.jit(step_fn)
+    rs = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
+    eps_seq = [jnp.float32(rs.uniform(0.5, 1.5) * 1e-7) for _ in range(iters)]
+
+    chain = jnp.float32(0.0)
+    float(step(chain, jnp.float32(1e-7), *args))  # compile + host-read sync
     t0 = time.perf_counter()
     for i in range(iters):
-        if vary is not None:
-            args[vary] = jax.tree.map(
-                lambda x: x + jnp.asarray(i * 1e-7, x.dtype)
-                if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.bfloat16)
-                else x,
-                args[vary],
-            )
-        out = fn(*args)
-    jax.block_until_ready(out)
+        chain = step(chain, eps_seq[i], *args)
+    final = float(np.asarray(chain))  # host read INSIDE the window
     dt = (time.perf_counter() - t0) / iters * 1000
+    assert final == final, f"{name}: NaN output"
     print(f"{name:34s} {dt:8.3f} ms")
     return dt
 
