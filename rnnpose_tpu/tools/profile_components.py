@@ -27,6 +27,12 @@ def timeit(fn, *args, iters=10, name="", vary=0):
     * one jitted dispatch per iteration — eager per-op perturbation would
       add tens of ms of relay round-trips to every sample.
     Entropy-seed the base epsilon so re-runs don't replay cached inputs.
+
+    The chained scalar reduces over EVERY float leaf of fn's output (means,
+    not first-leaf slices) so no output — optimizer-state updates, secondary
+    feature maps — is dead code XLA could prune from the timed program. The
+    per-iteration perturbation + reduction adds a small constant overhead vs
+    a bare fn call (noted in BENCHLOG.md).
     """
     import os
 
@@ -34,9 +40,36 @@ def timeit(fn, *args, iters=10, name="", vary=0):
     import jax.numpy as jnp
     import numpy as np
 
-    def _scalar(o):
-        leaf = jax.tree_util.tree_leaves(o)[0]
-        return jnp.sum(jnp.asarray(leaf, jnp.float32).ravel()[:8])
+    def _float_leaves(o):
+        return [
+            jnp.asarray(x)
+            for x in jax.tree_util.tree_leaves(o)
+            if hasattr(x, "dtype") and jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating
+            )
+        ]
+
+    def _reduce(o):
+        """(scalar keeping all float leaves live, all-finite flag)."""
+        leaves = _float_leaves(o)
+        assert leaves, f"{name}: fn output has no float leaves to reduce"
+        s = sum(jnp.mean(x.astype(jnp.float32)) for x in leaves)
+        finite = jnp.asarray(True)
+        for x in leaves:
+            finite = jnp.logical_and(finite, jnp.isfinite(x).all())
+        return s, finite
+
+    # Guard the perturbation contract: at least one leaf of args[vary] must
+    # actually be perturbable, else the relay's execution dedup can replay
+    # cached results and corrupt the measurement.
+    n_pert = sum(
+        1 for x in jax.tree_util.tree_leaves(args[vary])
+        if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.bfloat16)
+    )
+    assert n_pert > 0, (
+        f"{name}: no float32/bf16 leaves in args[{vary}] to perturb "
+        "(relay-dedup risk); pass a different `vary` index"
+    )
 
     def step_fn(chain, eps0, *a):
         a = list(a)
@@ -47,20 +80,23 @@ def timeit(fn, *args, iters=10, name="", vary=0):
             else x,
             a[vary],
         )
-        return _scalar(fn(*a))
+        return _reduce(fn(*a))
 
     step = jax.jit(step_fn)
     rs = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
     eps_seq = [jnp.float32(rs.uniform(0.5, 1.5) * 1e-7) for _ in range(iters)]
 
     chain = jnp.float32(0.0)
-    float(step(chain, jnp.float32(1e-7), *args))  # compile + host-read sync
+    c0, _ = step(chain, jnp.float32(1e-7), *args)
+    float(c0)  # compile + host-read sync
+    finite = None
     t0 = time.perf_counter()
     for i in range(iters):
-        chain = step(chain, eps_seq[i], *args)
-    final = float(np.asarray(chain))  # host read INSIDE the window
+        chain, finite = step(chain, eps_seq[i], *args)
+    final = float(np.asarray(chain))  # host reads INSIDE the window
+    all_finite = bool(np.asarray(finite))
     dt = (time.perf_counter() - t0) / iters * 1000
-    assert final == final, f"{name}: NaN output"
+    assert all_finite and np.isfinite(final), f"{name}: non-finite output"
     print(f"{name:34s} {dt:8.3f} ms")
     return dt
 

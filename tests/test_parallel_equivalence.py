@@ -40,7 +40,11 @@ def _setup(batch_size):
                                    normalize_output=False),
         # f32 everywhere: bf16 (the serving default) drifts ~1e-2 between
         # different XLA compilations, which would drown the thresholds.
-        refiner=RefinerConfig(render_iters=1, gru_iters=1, zoom_crop_size=32,
+        # render_iters=2 keeps the multi-render-iteration unroll boundary
+        # (incl. the legacy Tij-clobber loss path, which only affects
+        # non-final render iterations) covered under sharding — the driver's
+        # dryrun_multichip runs render_iters=1 for compile cost.
+        refiner=RefinerConfig(render_iters=2, gru_iters=1, zoom_crop_size=32,
                               corr_levels=2, raster_chunk=64,
                               mixed_precision=False),
     )
