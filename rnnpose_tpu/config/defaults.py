@@ -22,7 +22,27 @@ from ..models.rnnpose import RNNPoseConfig
 from ..train.losses import CircleLossConfig, RefinerLossConfig
 from ..train.optim import OptimizerConfig
 
-__all__ = ["default_config", "build_model_config", "build_optimizer_config"]
+__all__ = [
+    "default_config",
+    "build_model_config",
+    "build_optimizer_config",
+    "build_dataset",
+]
+
+# Host preprocess knobs exposed through YAML (null = library default); see
+# `data/preprocess.PreprocessConfig` + the dataset mesh budgets.
+_PREPROCESS_KEYS = {
+    "crop_size": None,
+    "crop_margin_ratio": None,
+    "num_corr": None,
+    "correspondence_radius": None,
+    "min_correspondences": None,
+    "max_points": None,
+    "bg_fraction": None,
+    "max_verts": None,
+    "max_faces": None,
+    "neighbor_limits": None,
+}
 
 
 def default_config() -> Dict[str, Any]:
@@ -128,6 +148,9 @@ def default_config() -> Dict[str, Any]:
                     "model_dir": "",
                     "class_names": [],
                     "voc_root": "",
+                    # host preprocess knobs (data/preprocess.PreprocessConfig
+                    # + mesh budgets); null = library default.
+                    "preprocess": dict(_PREPROCESS_KEYS),
                 },
             },
             "batch_size": 1,
@@ -142,6 +165,7 @@ def default_config() -> Dict[str, Any]:
                     "model_dir": "",
                     "class_names": [],
                     "init_pose_type": "POSECNN_LINEMOD",
+                    "preprocess": dict(_PREPROCESS_KEYS),
                 },
             },
             "batch_size": 1,
@@ -214,7 +238,11 @@ def apply_parity_preset(model_cfg: RNNPoseConfig) -> RNNPoseConfig:
         (`geometry/transformation.py:265-316`);
       * `mixed_precision=False` — f32 everywhere (SuperPoint, refiner
         encoder, GRU); the bf16 policy was A/B'd as metric-neutral but is
-        not bit-identical to the reference's f32 forward.
+        not bit-identical to the reference's f32 forward;
+      * `legacy_squash_255=True` — the reference feeds [0,1] images into a
+        byte-range normalizer (`model/CFNet.py:42-43`), so its RAFT encoder
+        sees ~-1 inputs whose first InstanceNorm eps-interaction the
+        released weights were trained with (see `RefinerConfig`).
     The 'eighth'/bf16 defaults remain the serving preset.
     """
     import dataclasses
@@ -226,6 +254,7 @@ def apply_parity_preset(model_cfg: RNNPoseConfig) -> RNNPoseConfig:
             lm_res="full",
             corr_weight_res="full",
             mixed_precision=False,
+            legacy_squash_255=True,
         ),
     )
 
@@ -244,4 +273,50 @@ def build_optimizer_config(cfg: Dict[str, Any]) -> OptimizerConfig:
         total_steps=tc["steps"],
         grad_clip=tc.get("grad_clip", 10.0),
         freeze_patterns=tuple(tc.get("freeze_patterns", [])),
+    )
+
+
+def build_dataset(cfg: Dict[str, Any], kp_cfg, is_train: bool):
+    """Construct `LinemodSynRealDataset` from the merged config dict.
+
+    Maps the YAML `preprocess` block (see `_PREPROCESS_KEYS`) onto
+    `data/preprocess.PreprocessConfig` + the dataset mesh budgets; null
+    entries keep the library defaults. Shared by `tools/train.py` and
+    `tools/eval.py` (the reference's `input_reader_builder.build`,
+    `builder/input_reader_builder.py:25-34`).
+    """
+    from ..data.linemod import LinemodSynRealDataset
+    from ..data.preprocess import PreprocessConfig
+
+    section = "train_input_reader" if is_train else "eval_input_reader"
+    dcfg = cfg[section]["dataset"]["kwargs"]
+    prep_over = {
+        k: v
+        for k, v in (dcfg.get("preprocess") or {}).items()
+        if v is not None
+    }
+    extra: Dict[str, Any] = {}
+    for key in ("max_verts", "max_faces", "neighbor_limits"):
+        if key in prep_over:
+            extra[key] = prep_over.pop(key)
+    prep_cfg = (
+        dataclasses.replace(PreprocessConfig(), **prep_over)
+        if prep_over
+        else PreprocessConfig()
+    )
+    if is_train:
+        extra["voc_root"] = dcfg.get("voc_root") or None
+    else:
+        extra["init_pose_type"] = dcfg.get("init_pose_type", "POSECNN_LINEMOD")
+        extra["init_pose_paths"] = dcfg.get("init_pose_paths")
+        extra["blender_to_bop_path"] = dcfg.get("blender_to_bop_path")
+    return LinemodSynRealDataset(
+        info_paths=dcfg["info_paths"],
+        root_paths=dcfg["root_paths"],
+        model_dir=dcfg["model_dir"],
+        kp_cfg=kp_cfg,
+        is_train=is_train,
+        class_names=dcfg.get("class_names") or None,
+        prep_cfg=prep_cfg,
+        **extra,
     )

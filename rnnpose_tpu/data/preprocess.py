@@ -158,16 +158,18 @@ def get_correspondences(
     from scipy.spatial import cKDTree
 
     tree = cKDTree(model)
-    dists, idxs = tree.query(lifted, k=k, distance_upper_bound=radius)
+    # workers=-1: the query releases the GIL and fans out over host cores.
+    _, idxs = tree.query(
+        lifted, k=k, distance_upper_bound=radius, workers=-1
+    )
     if k == 1:
-        dists, idxs = dists[:, None], idxs[:, None]
-    pairs = []
-    n_model = len(model)
-    for i in range(len(lifted)):
-        for j in range(k):
-            if idxs[i, j] < n_model and np.isfinite(dists[i, j]):
-                pairs.append((i, int(idxs[i, j])))
-    return np.asarray(pairs, np.int64).reshape(-1, 2)
+        idxs = idxs[:, None]
+    # Misses are reported as idx == n_model (dist inf); row-major nonzero
+    # preserves the (i, then j) pair order of the original Python loop.
+    li, kj = np.nonzero(idxs < len(model))
+    return np.stack(
+        [li, idxs[li, kj]], axis=-1
+    ).astype(np.int64).reshape(-1, 2)
 
 
 def build_correspondence_set(

@@ -105,6 +105,17 @@ class RefinerConfig:
                                    # 1.5x faster AND equal-or-better held-out
                                    # ADD than 'full' in overfit_check) or
                                    # 'full' (reference-exact 240^2 residuals)
+    legacy_squash_255: bool = False  # reproduce the reference's encoder
+                                   # input quirk: its pipeline feeds [0,1]
+                                   # images (`data/preprocess.py:497`) into a
+                                   # byte-range normalizer (`CFNet.py:42-43`),
+                                   # so the RAFT encoder actually sees
+                                   # 2*(x/255)-1 ~= -1 and the FIRST
+                                   # InstanceNorm's eps (1e-5, vs a ~2e-6
+                                   # activation variance) meaningfully shapes
+                                   # the features the released weights were
+                                   # trained with. Off (default): proper
+                                   # [-1,1] normalization, better conditioned.
 
     @property
     def compute_dtype(self):
@@ -484,7 +495,10 @@ class PoseRefiner(nn.Module):
 
             # Image features + correlation pyramid, built once per render iter
             # (reference 311, `CFNet.py:115-122` update_corr_fn=(i==0)).
-            fmap1, fmap2 = image_fea_enc(syn_img, image_crop)
+            enc_scale = (1.0 / 255.0) if cfg.legacy_squash_255 else 1.0
+            fmap1, fmap2 = image_fea_enc(
+                syn_img * enc_scale, image_crop * enc_scale
+            )
             pyramid = corr_ops.build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
             net, inp = split_context(
                 cfea_for_ctx, cfg.hidden_dim, cfg.context_dim,

@@ -155,21 +155,11 @@ def main(argv=None):
                    np.asarray(inputs.model_points[0]),
                    np.asarray(inputs.point_valid[0]), None)]
     else:
-        from ..data.linemod import LinemodSynRealDataset, collate_samples
+        from ..config.defaults import build_dataset
+        from ..data.linemod import collate_samples
         from ..data.linemod_config import diameter_m
 
-        dcfg = cfg["eval_input_reader"]["dataset"]["kwargs"]
-        dataset = LinemodSynRealDataset(
-            info_paths=dcfg["info_paths"],
-            root_paths=dcfg["root_paths"],
-            model_dir=dcfg["model_dir"],
-            kp_cfg=model_cfg.desc_kp,
-            is_train=False,
-            class_names=dcfg.get("class_names") or None,
-            init_pose_type=dcfg.get("init_pose_type", "POSECNN_LINEMOD"),
-            init_pose_paths=dcfg.get("init_pose_paths"),
-            blender_to_bop_path=dcfg.get("blender_to_bop_path"),
-        )
+        dataset = build_dataset(cfg, model_cfg.desc_kp, is_train=False)
 
         eval_batch = max(1, args.eval_batch)
         n_dev = jax.device_count()
@@ -195,12 +185,19 @@ def main(argv=None):
             )
 
         def frame_gen():
+            from ..data.loader import prefetch_map
+
             n = len(dataset)
             if args.max_frames:
                 n = min(n, args.max_frames)
             buffers = {}
-            for i in range(jax.process_index(), n, jax.process_count()):
-                s = dataset[i]
+            # Ordered host prefetch: dataset[i] (decode + KD-tree + pyramid)
+            # overlaps device compute, same frame order as the sync loop.
+            samples = prefetch_map(
+                range(jax.process_index(), n, jax.process_count()),
+                dataset.__getitem__,
+            )
+            for s in samples:
                 cls = s["class_name"]
                 buffers.setdefault(cls, []).append(s)
                 if len(buffers[cls]) == eval_batch:

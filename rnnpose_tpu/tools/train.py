@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--syn_zoom", type=int, default=120)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--loader_threads", type=int, default=4,
+                   help="host prefetch worker threads (0 = synchronous)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_frames", type=int, default=200,
                    help="frames per periodic in-training eval (0 disables)")
@@ -129,21 +131,13 @@ def main(argv=None):
                 yield b
 
     else:
-        from ..data.linemod import LinemodSynRealDataset, collate_samples
+        from ..config.defaults import build_dataset
+        from ..data.linemod import collate_samples
         from ..data.preprocess import TooFewCorrespondences
         from ..data.samplers import GivenIterationSampler
 
         model_cfg = build_model_config(cfg)
-        dcfg = cfg["train_input_reader"]["dataset"]["kwargs"]
-        dataset = LinemodSynRealDataset(
-            info_paths=dcfg["info_paths"],
-            root_paths=dcfg["root_paths"],
-            model_dir=dcfg["model_dir"],
-            kp_cfg=model_cfg.desc_kp,
-            is_train=True,
-            class_names=dcfg.get("class_names") or None,
-            voc_root=dcfg.get("voc_root") or None,
-        )
+        dataset = build_dataset(cfg, model_cfg.desc_kp, is_train=True)
         def batches(last_iter=-1):
             # Resume fast-forwards the permutation by (last_iter+1)*batch
             # (reference sampler semantics, utils/distributed_utils.py:200,260).
@@ -155,23 +149,43 @@ def main(argv=None):
                 num_shards=jax.process_count(),
                 last_iter=last_iter,
             )
-            it = iter(sampler)
             bs = cfg["train_input_reader"]["batch_size"]
-            while True:
-                samples = []
-                while len(samples) < bs:
-                    try:
-                        samples.append(dataset[next(it)])
-                    except TooFewCorrespondences:
-                        continue  # skip degenerate frame (reference 421-437)
-                    except StopIteration:
-                        return
-                yield jax.tree.map(jnp.asarray, collate_samples(samples))
+
+            def collate(samples):
+                return jax.tree.map(jnp.asarray, collate_samples(samples))
+
+            if args.loader_threads > 0:
+                # Host preprocessing overlaps device compute (the reference's
+                # DataLoader workers, `data/preprocess.py:913-929`); order-
+                # preserving, so batches are identical to the sync path.
+                from ..data.loader import PrefetchLoader
+
+                return PrefetchLoader(
+                    sampler, dataset.__getitem__, bs, collate,
+                    num_threads=args.loader_threads,
+                    skip_exc=TooFewCorrespondences,
+                )
+
+            def sync_gen():
+                it = iter(sampler)
+                while True:
+                    samples = []
+                    while len(samples) < bs:
+                        try:
+                            samples.append(dataset[next(it)])
+                        except TooFewCorrespondences:
+                            continue  # skip degenerate frame (reference 421-437)
+                        except StopIteration:
+                            return
+                    yield collate(samples)
+
+            return sync_gen()
 
     # ---- build model/optimizer/step (reference 388-456) ----
     model = RNNPose(model_cfg)
     mesh = mesh_lib.make_mesh()
-    batch_iter = iter(batches())
+    loader = batches()
+    batch_iter = iter(loader)
     first = next(batch_iter)
     params = jax.jit(lambda k: model.init(k, first, train=False))(
         jax.random.PRNGKey(args.seed)
@@ -194,7 +208,9 @@ def main(argv=None):
         log.log_text(f"restored checkpoint at step {step}", step)
         if not args.synthetic:
             # Rebuild the batch stream fast-forwarded to the restored step.
-            batch_iter = iter(batches(last_iter=step - 1))
+            getattr(loader, "close", lambda: None)()
+            loader = batches(last_iter=step - 1)
+            batch_iter = iter(loader)
             first = next(batch_iter)
 
     params = mesh_lib.replicate_params(params, mesh)
@@ -206,20 +222,11 @@ def main(argv=None):
     if not args.synthetic and args.eval_frames > 0:
         ecfg = cfg["eval_input_reader"]["dataset"]["kwargs"]
         if ecfg.get("info_paths"):
+            from ..config.defaults import build_dataset as _build_ds
             from ..data.linemod import collate_samples as _collate
-            from ..data.linemod import LinemodSynRealDataset as _DS
             from ..data.linemod_config import diameter_m as _diam
 
-            eval_ds = _DS(
-                info_paths=ecfg["info_paths"],
-                root_paths=ecfg["root_paths"],
-                model_dir=ecfg["model_dir"],
-                kp_cfg=model_cfg.desc_kp,
-                is_train=False,
-                class_names=ecfg.get("class_names") or None,
-                init_pose_type=ecfg.get("init_pose_type", "POSECNN_LINEMOD"),
-                init_pose_paths=ecfg.get("init_pose_paths"),
-            )
+            eval_ds = _build_ds(cfg, model_cfg.desc_kp, is_train=False)
 
             def eval_frame_gen():
                 for i in range(0, len(eval_ds), max(len(eval_ds) // args.eval_frames, 1)):
@@ -268,6 +275,7 @@ def main(argv=None):
                     {f"eval/{k}": v for k, v in overall.items()}, step
                 )
     log.log_text("training done", step)
+    getattr(loader, "close", lambda: None)()
     log.close()
 
 

@@ -27,6 +27,9 @@ def tiny():
         dict(corr_weight_res="eighth", lm_res="eighth"),      # TPU default
         dict(with_corr_weight=False, lm_res="eighth"),
         dict(mixed_precision=False),
+        # full parity preset incl. the reference's /255 encoder-input quirk
+        dict(corr_weight_res="full", lm_res="full", mixed_precision=False,
+             legacy_squash_255=True),
     ],
 )
 def test_config_matrix_forward(tiny, overrides):
