@@ -274,9 +274,13 @@ def refiner_loss(
         + cfg.flow_weight * jnp.sum(l_flow)
         + cfg.reproj_weight * jnp.sum(l_reproj)
     )
+    # Reported per-term values are the LAST iteration's, like the reference
+    # (`PoseRefiner.py:429-436` returns the final loop values while only
+    # `total_loss` accumulates) — so logged metrics compare 1:1 with
+    # reference training logs. The optimized quantity is `total_loss`.
     return {
         "total_loss": total,
-        "flow_loss": jnp.sum(l_flow),
-        "reproj_loss": jnp.mean(l_reproj),
-        "loss_3d_proj": jnp.sum(l_3d),
+        "flow_loss": l_flow[-1],
+        "reproj_loss": l_reproj[-1],
+        "loss_3d_proj": l_3d[-1],
     }

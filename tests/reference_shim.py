@@ -150,6 +150,51 @@ def install_reference(monkeypatch=None):
             setattr(root, sub, m)
         sys.modules["transforms3d"] = root
 
+    # pytorch3d + plyfile: `geometry/diff_render_optim.py:9-28` imports a
+    # long symbol list at module scope; `model/RNNPose.py:23` imports that
+    # module. The full-model rehearsal never CALLS the pytorch3d renderer
+    # (RNNPose._render_init is monkeypatched to our fake renderer), so the
+    # shims only need to satisfy `from X import name`: any attribute
+    # resolves to an inert placeholder.
+    def _any_attr_module(name):
+        m = types.ModuleType(name)
+        m.__path__ = []
+
+        def _getattr(attr, _n=name):
+            if attr.startswith("__"):
+                raise AttributeError(attr)
+
+            class _Placeholder:
+                def __init__(self, *a, **k):
+                    raise NotImplementedError(
+                        f"{_n}.{attr} is a test shim; the rehearsal must "
+                        "not call into pytorch3d"
+                    )
+
+            _Placeholder.__name__ = attr
+            return _Placeholder
+
+        m.__getattr__ = _getattr
+        return m
+
+    if "pytorch3d" not in sys.modules:
+        for name in (
+            "pytorch3d",
+            "pytorch3d.renderer",
+            "pytorch3d.renderer.mesh",
+            "pytorch3d.renderer.mesh.utils",
+            "pytorch3d.renderer.mesh.rasterizer",
+            "pytorch3d.structures",
+            "pytorch3d.io",
+            "pytorch3d.ops",
+        ):
+            sys.modules[name] = _any_attr_module(name)
+            if "." in name:  # bind submodule on its parent for `import a.b.c`
+                parent, _, child = name.rpartition(".")
+                setattr(sys.modules[parent], child, sys.modules[name])
+    if "plyfile" not in sys.modules:
+        sys.modules["plyfile"] = _any_attr_module("plyfile")
+
     # `config.default.get_cfg` (yacs singleton) -> fixed constants. Installed
     # as a package so `from config.default import get_cfg` resolves to the
     # shim rather than the reference's yacs-dependent module.

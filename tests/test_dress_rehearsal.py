@@ -301,3 +301,155 @@ def test_pose_refiner_dress_rehearsal(rng):
         float(fres["total_loss"]), float(mres["total_loss"]),
         rtol=2e-3, err_msg="training loss diverges",
     )
+
+
+def test_refiner_gradient_parity(rng):
+    """Backward-pass parity (VERDICT r2 #7): torch autograd of
+    `compute_loss` through ONE render iteration (2 GRU steps) vs `jax.grad`
+    on converted weights. Closes the train-parity gap between the LM-level
+    gradient A/B (`test_lm_gradient_parity`) and full training equivalence:
+    backprop through similarity weighting, the damped solve, the GRU, the
+    corr lookup and the image encoder (`model/PoseRefiner.py:378-436`).
+
+    The torch gradient state dict is mapped into the flax tree through the
+    SAME production converter routes (transposes included), then compared
+    per-parameter by cosine / scaled atol.
+    """
+    from functools import partial
+
+    from easydict import EasyDict
+    from model.losses import PointAlignmentLoss
+    from model.PoseRefiner import PoseRefiner as TorchRefiner
+    from geometry.transformation import SE3Sequence
+
+    import jax.numpy as jnp
+
+    from rnnpose_tpu.train.losses import RefinerLossConfig, refiner_loss
+
+    sc = _scene(rng)
+
+    cfg_t = EasyDict({
+        "with_corr_weight": True, "IS_CALIBRATED": True, "FLOW_NET": "raft",
+        "RENDER_ITER_COUNT": 1, "ITER_COUNT": 2, "OPTIM_ITER_COUNT": 1,
+        "ONLINE_CROP": True, "RESCALE_IMAGES": False,
+        "TRAIN_FLOW_WEIGHT": 0.5, "TRAIN_REPROJ_WEIGHT": 0.3,
+        "TRAIN_PCALIGN_WEIGHT": 1.0,
+        "raft": EasyDict({
+            "small": False, "mixed_precision": False, "fea_net": "default",
+            "input_dim": 3, "pretrained_model": None, "iters": 1,
+        }),
+    })
+    fake = make_fake_renderer(
+        sc["mesh"].verts, sc["mesh"].faces, sc["mesh"].vert_colors * 255.0
+    )
+    tref = TorchRefiner(cfg_t, renderer=fake, is_training=True).train()
+
+    # --- torch forward + backward ---
+    tout = tref(
+        image=torch.from_numpy(
+            np.moveaxis(sc["image"], -1, 1) * 255.0
+        ).contiguous(),
+        Ts=SE3Sequence(matrix=torch.from_numpy(sc["T_init"])[:, None]),
+        intrinsics=torch.from_numpy(sc["K33"]),
+        fea_3d=torch.from_numpy(sc["ctx"]),
+        Tj_gt=SE3Sequence(matrix=torch.from_numpy(sc["T_gt"])[:, None]),
+        obj_cls=["synthetic"],
+        geofea_3d=torch.from_numpy(sc["geo3"]),
+        geofea_2d=torch.from_numpy(
+            np.moveaxis(sc["geo2"], -1, 1)
+        ).contiguous(),
+    )
+    pts = sc["mesh"].verts[: sc["n"]]
+    # Export weights BEFORE backward (state unchanged by backward, but keep
+    # the intent explicit); compute_loss clears histories, so call it last.
+    sd = {f"motion_net.{k}": v.detach().cpu().numpy()
+          for k, v in tref.state_dict().items()}
+    mres = tref.compute_loss(
+        tout["Tij_gt"], tout["syn_depth"],
+        intrinsics=torch.from_numpy(sc["K33"]),
+        loss3d=partial(
+            PointAlignmentLoss().forward, points=torch.from_numpy(pts)[None]
+        ),
+    )
+    mres["total_loss"].backward()
+    grad_sd = {
+        f"motion_net.{k}": (
+            p.grad.detach().cpu().numpy()
+            if p.grad is not None
+            else np.zeros(p.shape, np.float32)
+        )
+        for k, p in tref.named_parameters()
+    }
+
+    # --- flax twin: converted weights, jax.grad of the same total loss ---
+    fref = PoseRefiner(RefinerConfig(
+        render_iters=1, gru_iters=2, optim_iters=1, zoom_crop_size=S,
+        mixed_precision=False, corr_weight_res="full", lm_res="full",
+        raster_chunk=64,
+    ))
+    fin = _flax_inputs(sc)
+    params = fref.init(jax.random.PRNGKey(0), **fin)
+    wrapped = {"params": {"motion": params["params"]}}
+    new, skipped, _ = load_full_checkpoint(wrapped, sd, strict=True)
+    assert skipped == []
+    params = {"params": new["params"]["motion"]}
+
+    pts_pad = np.zeros((1, V_PAD, 3), np.float32)
+    pts_pad[:, : sc["n"]] = pts
+    pvalid = (np.arange(V_PAD) < sc["n"]).astype(np.float32)[None]
+
+    def loss_fn(p):
+        fouts = fref.apply(p, **fin)
+        return refiner_loss(
+            fouts, jnp.asarray(pts_pad), jnp.asarray(pvalid),
+            cfg=RefinerLossConfig(
+                flow_weight=0.5, reproj_weight=0.3, pcalign_weight=1.0
+            ),
+            gru_iters=2,
+        )["total_loss"]
+
+    lf, gf = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(
+        float(lf), float(mres["total_loss"].detach()), rtol=2e-3,
+        err_msg="forward loss diverges before comparing gradients",
+    )
+
+    # Map the torch GRADIENTS through the same converter routes (identical
+    # transposes) onto a zeroed flax tree, then compare leaf by leaf.
+    zeros = jax.tree.map(np.zeros_like, params)
+    wrapped_g = {"params": {"motion": zeros["params"]}}
+    conv_g, skipped_g, _ = load_full_checkpoint(wrapped_g, grad_sd, strict=True)
+    assert skipped_g == []
+    gt_tree = {"params": conv_g["params"]["motion"]}
+
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_t = dict(jax.tree_util.tree_leaves_with_path(gt_tree))
+    assert len(flat_f) == len(flat_t)
+    global_norm = max(
+        np.linalg.norm(np.asarray(g)) for _, g in flat_f
+    )
+    worst = (1.0, None)
+    checked = 0
+    for path, g_f in flat_f:
+        g_t = np.asarray(flat_t[path])
+        g_f = np.asarray(g_f)
+        nf, nt = np.linalg.norm(g_f), np.linalg.norm(g_t)
+        name = jax.tree_util.keystr(path)
+        if max(nf, nt) < 1e-6 * global_norm:
+            # Mathematically-zero gradients hold pure float noise on both
+            # sides (e.g. conv biases immediately followed by InstanceNorm,
+            # which is invariant to per-channel shifts) — direction is
+            # meaningless there.
+            continue
+        checked += 1
+        cos = float(np.dot(g_f.ravel(), g_t.ravel()) / (nf * nt + 1e-30))
+        if cos < worst[0]:
+            worst = (cos, name)
+        assert cos > 0.999, f"gradient direction diverges at {name}: {cos}"
+        ratio = nf / (nt + 1e-30)
+        assert 0.99 < ratio < 1.01, (
+            f"gradient magnitude diverges at {name}: {ratio}"
+        )
+    assert checked >= 40, f"only {checked} gradient leaves carried signal"
+    print(f"worst gradient cosine over {checked} leaves: "
+          f"{worst[0]:.6f} at {worst[1]}")
