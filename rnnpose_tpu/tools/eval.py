@@ -43,6 +43,13 @@ def parse_args(argv=None):
                         "sharded across the device mesh — SPMD eval, the "
                         "TPU analog of the reference's DDP eval loop "
                         "(reference tools/eval.py runs bs=1 per rank).")
+    p.add_argument("--evaluator", choices=("auto", "linemod", "ycb"),
+                   default="auto",
+                   help="metric protocol: 'linemod' = ADD(-S)@0.1/0.05/0.02d "
+                        "+ Proj2D + 5cm5deg; 'ycb' adds the PoseCNN AUC "
+                        "metrics (add_auc/adds_auc, BASELINE config #4) and "
+                        "the YCB symmetric set; 'auto' picks ycb for "
+                        "BOP-YCB class names")
     p.add_argument("--parity", action="store_true",
                    help="reference-exact operating mode: full-res LM "
                         "residuals + similarity weighting, f32 everywhere "
@@ -161,6 +168,21 @@ def main(argv=None):
 
         dataset = build_dataset(cfg, model_cfg.desc_kp, is_train=False)
 
+        _diam_cache = {}
+
+        def _diameter(cls, assets):
+            """LINEMOD table; else exact max pairwise extent of the model
+            points (YCB/BOP classes carry no table entry — the reference
+            reads per-model diameter files, `eval_metric.py:64-70`)."""
+            if cls not in _diam_cache:
+                try:
+                    _diam_cache[cls] = diameter_m(cls)
+                except KeyError:
+                    pts = assets.model_points[assets.point_valid > 0]
+                    d2 = ((pts[None] - pts[:, None]) ** 2).sum(-1)
+                    _diam_cache[cls] = float(np.sqrt(d2.max()))
+            return _diam_cache[cls]
+
         eval_batch = max(1, args.eval_batch)
         n_dev = jax.device_count()
         shard = eval_batch > 1 and eval_batch % n_dev == 0 and n_dev > 1
@@ -180,7 +202,7 @@ def main(argv=None):
             if shard:
                 inputs = shard_batch(inputs, mesh, eval_batch)
             return (
-                inputs, cls, diameter_m(cls),
+                inputs, cls, _diameter(cls, assets),
                 assets.model_points, assets.point_valid, chunk,
             )
 
@@ -241,7 +263,14 @@ def main(argv=None):
             )
         if cls not in cache:
             cache[cls] = enc3d(params, inputs.pyramid)
-            evaluators[cls] = PoseEvaluator(
+            from ..data.ycb import BOP_YCB_CLASSES
+            from ..eval.evaluator import YCBEvaluator
+
+            use_ycb = args.evaluator == "ycb" or (
+                args.evaluator == "auto" and cls in BOP_YCB_CLASSES
+            )
+            ev_cls = YCBEvaluator if use_ycb else PoseEvaluator
+            evaluators[cls] = ev_cls(
                 cls, diameter,
                 model_points[point_valid > 0]
                 if point_valid is not None else model_points,

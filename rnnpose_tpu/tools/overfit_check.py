@@ -113,7 +113,7 @@ def main(argv=None):
           f"({'IMPROVED' if ref_add < init_add else 'WORSE'})")
     print(f"loss: first50 {np.mean(losses[:50]):.4f} -> "
           f"last50 {np.mean(losses[-50:]):.4f}")
-    return init_add, ref_add
+    return init_add, ref_add, losses
 
 
 if __name__ == "__main__":
