@@ -128,8 +128,12 @@ def main(argv=None):
             "input_dim": 3, "pretrained_model": None, "iters": 1,
         }),
     })
+    # The fake renderer gets the PADDED mesh (pad faces are degenerate and
+    # never rasterize; n_valid limits the point-cloud splat), so both sides
+    # render identical static shapes with chunk-divisible face counts.
     fake = make_fake_renderer(
-        m.verts, m.faces, m.vert_colors * 255.0, chunk=args.chunk
+        pm.verts, pm.faces, pm.vert_colors * 255.0, chunk=args.chunk,
+        n_valid=n,
     )
     tref = TorchRefiner(cfg_t, renderer=fake, is_training=False).eval()
 
@@ -141,10 +145,10 @@ def main(argv=None):
             ).contiguous(),
             Ts=SE3Sequence(matrix=torch.from_numpy(T_init)[:, None]),
             intrinsics=torch.from_numpy(K33),
-            fea_3d=torch.from_numpy(ctx),
+            fea_3d=torch.from_numpy(ctx_pad),
             Tj_gt=SE3Sequence(matrix=torch.from_numpy(T_gt)[:, None]),
             obj_cls=["synthetic"],
-            geofea_3d=torch.from_numpy(geo3),
+            geofea_3d=torch.from_numpy(geo3_pad),
             geofea_2d=torch.from_numpy(np.moveaxis(geo2, -1, 1)).contiguous(),
         )
     print(f"torch forward: {time.time() - t0:.0f}s")

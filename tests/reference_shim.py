@@ -212,7 +212,7 @@ def install_reference(monkeypatch=None):
     return REFERENCE_ROOT
 
 
-def make_fake_renderer(verts, faces, colors, chunk=64):
+def make_fake_renderer(verts, faces, colors, chunk=64, n_valid=None):
     """A drop-in for the reference's `DiffRendererWrapper` backed by OUR
     rasterizer, for the dress-rehearsal A/B (VERDICT r1 #9).
 
@@ -240,6 +240,11 @@ def make_fake_renderer(verts, faces, colors, chunk=64):
     verts = np.asarray(verts, np.float32)
     faces_j = jnp.asarray(np.asarray(faces, np.int32))
     colors = np.asarray(colors, np.float32)
+    # Padded-mesh support: rasterization is safe on pad faces (degenerate,
+    # zero area -> never win the z-buffer), but the point-cloud splat would
+    # scatter pad verts (all at the origin -> the object center pixel), so
+    # limit the splat to the real verts.
+    n_splat = len(verts) if n_valid is None else int(n_valid)
 
     def _K_vec(K):
         K = np.asarray(K, np.float32)
@@ -293,7 +298,7 @@ def make_fake_renderer(verts, faces, colors, chunk=64):
             K = np.asarray(K.detach().cpu().numpy(), np.float32)
             outs = []
             for b in range(T.shape[0]):
-                Xc = verts @ T[b, :3, :3].T + T[b, :3, 3]
+                Xc = verts[:n_splat] @ T[b, :3, :3].T + T[b, :3, 3]
                 x = Xc @ K[b].T
                 depth = x[:, 2]
                 uv = x[:, :2] / x[:, 2:3]
