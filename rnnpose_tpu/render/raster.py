@@ -46,6 +46,10 @@ __all__ = [
 _FAR = 1e9
 _AREA_EPS = 1e-9
 _TILE_PREF = os.environ.get("RNNPOSE_RASTER_TILE")
+# Batched fused-sweep grid granularity: "rows" (default, one invocation per
+# 16-px tile row) or "tile" (legacy per-tile grid). Read once at import —
+# trace-time reads are invisible to the jit cache.
+_GRID_PREF = os.environ.get("RNNPOSE_RASTER_GRID", "rows")
 
 
 class Fragments(NamedTuple):
@@ -407,13 +411,23 @@ def rasterize_with_vis_attrs(
         return face_data, bbox
 
     def _run_fused(uv, z, vis_attrs):
-        from ..ops.pallas_raster import zbuffer_sweep_tiled_attrs_batched
+        from ..ops.pallas_raster import (
+            zbuffer_sweep_rows_attrs_batched,
+            zbuffer_sweep_tiled_attrs_batched,
+        )
 
         face_data, bbox = jax.vmap(_prep_single)(uv, z)
         corner_attrs = jax.vmap(lambda a: a[faces])(vis_attrs)  # (B, F, 3, D)
-        # One kernel over a (B, tiles) grid — B serial scalar-prefetch
-        # launches dominated the raster cost at batch 8.
-        zb, fid, attr = zbuffer_sweep_tiled_attrs_batched(
+        # One kernel over a (B, tile-rows) grid — the per-(b, tile) grid's
+        # fixed invocation cost dominated (most tiles sweep 0-2 chunks after
+        # culling); the row kernel is 2.3x faster at the shipping shape and
+        # bit-identical (BENCHLOG round 3). RNNPOSE_RASTER_GRID=tile restores
+        # the per-tile kernel for A/B.
+        sweep = (
+            zbuffer_sweep_tiled_attrs_batched
+            if _GRID_PREF == "tile" else zbuffer_sweep_rows_attrs_batched
+        )
+        zb, fid, attr = sweep(
             face_data, bbox, corner_attrs, h, w, chunk=chunk,
             tile=_pick_tile(h, w, chunk) or 16,
         )

@@ -99,22 +99,32 @@ def test_tiled_sweep_sparse_coverage_and_batch(monkeypatch):
     np.testing.assert_allclose(ref.bary, out.bary, atol=1e-5)
 
 
-def test_tiled_attrs_fused_matches_unfused(monkeypatch):
-    """Fused raster+attr kernel == scan raster + gather interpolation."""
+@pytest.mark.parametrize("grid", ["tile", "rows"])
+def test_tiled_attrs_fused_matches_unfused(monkeypatch, grid):
+    """Fused raster+attr kernel == scan raster + gather interpolation.
+
+    Covers both batched grid granularities: the legacy per-(b, tile) kernel
+    and the production per-(b, tile-row) kernel."""
     import rnnpose_tpu.ops.pallas_raster as PR
+    import rnnpose_tpu.render.raster as R
     from rnnpose_tpu.render.raster import (
         interpolate_attributes,
         rasterize_with_vis_attrs,
     )
 
-    orig = PR.zbuffer_sweep_tiled_attrs_batched
+    name = (
+        "zbuffer_sweep_tiled_attrs_batched"
+        if grid == "tile" else "zbuffer_sweep_rows_attrs_batched"
+    )
+    orig = getattr(PR, name)
 
     def interp_sweep(face_data, bbox, corner_attrs, h, w, chunk=128,
                      tile=16, min_depth=0.01):
         return orig(face_data, bbox, corner_attrs, h, w, chunk=chunk,
                     tile=tile, min_depth=min_depth, interpret=True)
 
-    monkeypatch.setattr(PR, "zbuffer_sweep_tiled_attrs_batched", interp_sweep)
+    monkeypatch.setattr(PR, name, interp_sweep)
+    monkeypatch.setattr(R, "_GRID_PREF", grid)
 
     verts1, faces, K1, fv = _setup()
     # B=2 with different poses: exercises the batched (B, tiles) kernel grid.
