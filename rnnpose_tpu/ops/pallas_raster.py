@@ -831,109 +831,111 @@ def zbuffer_sweep_tiled_attrs_batched(
 # ---------------------------------------------------------------------------
 
 
-def _rows_attrs_kernel_batched(ids_ref, counts_ref, face_ref, attr_ref,
+def _rows_attrs_kernel_batched(ids_ref, counts_ref, face_ref, rec_ref,
                                z_ref, fid_ref, out_ref, *,
                                tile: int, w_tiles: int, chunk: int,
-                               dpad: int, min_depth: float):
-    r = pl.program_id(1)
+                               dpad: int, rows_per: int, min_depth: float):
+    rg0 = pl.program_id(1) * rows_per
 
     n = tile * tile
     lin = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     xloc = (lin % tile).astype(jnp.float32) + 0.5
-    y = (lin // tile + r * tile).astype(jnp.float32) + 0.5
+    yloc = (lin // tile).astype(jnp.float32) + 0.5
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     hp = jax.lax.Precision.HIGHEST
 
-    for tx in range(w_tiles):
-        t = r * w_tiles + tx
-        cnt = counts_ref[0, 0, t]
-        x = xloc + float(tx * tile)
-        sl = slice(tx * tile, (tx + 1) * tile)
+    # Rows ride a DYNAMIC loop (dynamic sublane index into the out blocks):
+    # unrolling rows_per * w_tiles tile bodies overflows Mosaic's scoped
+    # VMEM (register spills scale with unrolled code size) — the row loop
+    # keeps the body one row wide; only the lane-offset tile loop (static
+    # slices) unrolls.
+    def row_body(rg, _):
+        y = yloc + (rg0 + rg).astype(jnp.float32) * tile
+        for tx in range(w_tiles):
+            t = (rg0 + rg) * w_tiles + tx
+            cnt = counts_ref[0, 0, t]
+            x = xloc + float(tx * tile)
+            sl = slice(tx * tile, (tx + 1) * tile)
 
-        @pl.when(cnt == 0)
-        def _():
-            z_ref[0, 0, :, sl] = jnp.full((tile, tile), _FAR, jnp.float32)
-            fid_ref[0, 0, :, sl] = jnp.full((tile, tile), -1, jnp.int32)
-            out_ref[0, 0, :, sl, :] = jnp.zeros(
-                (tile, tile, dpad), jnp.float32
-            )
+            @pl.when(cnt == 0)
+            def _():
+                z_ref[0, rg, :, sl] = jnp.full(
+                    (tile, tile), _FAR, jnp.float32
+                )
+                fid_ref[0, rg, :, sl] = jnp.full((tile, tile), -1, jnp.int32)
+                out_ref[0, rg, :, sl, :] = jnp.zeros(
+                    (tile, tile, dpad), jnp.float32
+                )
 
-        @pl.when(cnt > 0)
-        def _():
-            def body(j, carry):
-                best_z, best_f = carry
-                cid = ids_ref[0, t, j]
-                fd = face_ref[0, cid]                        # (16, chunk)
-                e0 = x * fd[0:1, :] + y * fd[1:2, :] + fd[2:3, :]
-                e1 = x * fd[3:4, :] + y * fd[4:5, :] + fd[5:6, :]
-                e2 = x * fd[6:7, :] + y * fd[7:8, :] + fd[8:9, :]
-                depth = x * fd[9:10, :] + y * fd[10:11, :] + fd[11:12, :]
-                ok = (
-                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                    & (depth > min_depth) & (fd[12:13, :] > 0.0)
-                )
-                zcand = jnp.where(ok, depth, _FAR)
-                local_z = jnp.min(zcand, axis=1, keepdims=True)
-                local_a = (
-                    jnp.argmin(zcand, axis=1).astype(jnp.int32)[:, None]
-                )
-                take = local_z < best_z
-                best_z = jnp.where(take, local_z, best_z)
-                best_f = jnp.where(take, cid * chunk + local_a, best_f)
-                return best_z, best_f
+            @pl.when(cnt > 0)
+            def _():
+                def body(j, carry):
+                    best_z, best_f = carry
+                    cid = ids_ref[0, t, j]
+                    fd = face_ref[0, cid]                    # (16, chunk)
+                    e0 = x * fd[0:1, :] + y * fd[1:2, :] + fd[2:3, :]
+                    e1 = x * fd[3:4, :] + y * fd[4:5, :] + fd[5:6, :]
+                    e2 = x * fd[6:7, :] + y * fd[7:8, :] + fd[8:9, :]
+                    depth = (
+                        x * fd[9:10, :] + y * fd[10:11, :] + fd[11:12, :]
+                    )
+                    ok = (
+                        (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                        & (depth > min_depth) & (fd[12:13, :] > 0.0)
+                    )
+                    zcand = jnp.where(ok, depth, _FAR)
+                    local_z = jnp.min(zcand, axis=1, keepdims=True)
+                    local_a = (
+                        jnp.argmin(zcand, axis=1).astype(jnp.int32)[:, None]
+                    )
+                    take = local_z < best_z
+                    best_z = jnp.where(take, local_z, best_z)
+                    best_f = jnp.where(take, cid * chunk + local_a, best_f)
+                    return best_z, best_f
 
-            init = (
-                jnp.full((n, 1), _FAR, jnp.float32),
-                jnp.full((n, 1), -1, jnp.int32),
-            )
-            best_z, best_f = jax.lax.fori_loop(0, cnt, body, init)
-            best_f = jnp.where(best_z < _FAR, best_f, -1)
+                init = (
+                    jnp.full((n, 1), _FAR, jnp.float32),
+                    jnp.full((n, 1), -1, jnp.int32),
+                )
+                best_z, best_f = jax.lax.fori_loop(0, cnt, body, init)
+                best_f = jnp.where(best_z < _FAR, best_f, -1)
 
-            def body2(j, acc):
-                cid = ids_ref[0, t, j]
-                coef_acc, c0_acc, c1_acc, c2_acc = acc
-                fd = face_ref[0, cid]
-                ad = attr_ref[0, cid]                        # (3, dpad, chunk)
-                onehot = (best_f == cid * chunk + col).astype(jnp.float32)
-                coef_acc = coef_acc + jax.lax.dot_general(
-                    onehot, fd[0:9, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=hp,
-                )
-                c0_acc = c0_acc + jax.lax.dot_general(
-                    onehot, ad[0],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=hp,
-                )
-                c1_acc = c1_acc + jax.lax.dot_general(
-                    onehot, ad[1],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=hp,
-                )
-                c2_acc = c2_acc + jax.lax.dot_general(
-                    onehot, ad[2],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=hp,
-                )
-                return coef_acc, c0_acc, c1_acc, c2_acc
+                # Winner recovery: the 9 edge coefficients and the 3 corner
+                # attribute rows ride ONE concatenated (chunk, 9 + 3*dpad)
+                # operand, so each chunk pays a single one-hot matmul
+                # instead of four (4x fewer MXU dispatches, identical
+                # results — concatenation along the output columns).
+                def body2(j, acc):
+                    cid = ids_ref[0, t, j]
+                    rd = rec_ref[0, cid]                 # (9 + 3*dpad, chunk)
+                    onehot = (
+                        best_f == cid * chunk + col
+                    ).astype(jnp.float32)
+                    return acc + jax.lax.dot_general(
+                        onehot, rd,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=hp,
+                    )
 
-            coef9, c0, c1, c2 = jax.lax.fori_loop(
-                0, cnt, body2,
-                (
-                    jnp.zeros((n, 9), jnp.float32),
-                    jnp.zeros((n, dpad), jnp.float32),
-                    jnp.zeros((n, dpad), jnp.float32),
-                    jnp.zeros((n, dpad), jnp.float32),
-                ),
-            )
-            b0 = x * coef9[:, 0:1] + y * coef9[:, 1:2] + coef9[:, 2:3]
-            b1 = x * coef9[:, 3:4] + y * coef9[:, 4:5] + coef9[:, 5:6]
-            b2 = x * coef9[:, 6:7] + y * coef9[:, 7:8] + coef9[:, 8:9]
-            attr = b0 * c0 + b1 * c1 + b2 * c2
+                rec = jax.lax.fori_loop(
+                    0, cnt, body2,
+                    jnp.zeros((n, 9 + 3 * dpad), jnp.float32),
+                )
+                coef9 = rec[:, :9]
+                c0 = rec[:, 9:9 + dpad]
+                c1 = rec[:, 9 + dpad:9 + 2 * dpad]
+                c2 = rec[:, 9 + 2 * dpad:]
+                b0 = x * coef9[:, 0:1] + y * coef9[:, 1:2] + coef9[:, 2:3]
+                b1 = x * coef9[:, 3:4] + y * coef9[:, 4:5] + coef9[:, 5:6]
+                b2 = x * coef9[:, 6:7] + y * coef9[:, 7:8] + coef9[:, 8:9]
+                attr = b0 * c0 + b1 * c1 + b2 * c2
 
-            z_ref[0, 0, :, sl] = best_z.reshape(tile, tile)
-            fid_ref[0, 0, :, sl] = best_f.reshape(tile, tile)
-            out_ref[0, 0, :, sl, :] = attr.reshape(tile, tile, dpad)
+                z_ref[0, rg, :, sl] = best_z.reshape(tile, tile)
+                fid_ref[0, rg, :, sl] = best_f.reshape(tile, tile)
+                out_ref[0, rg, :, sl, :] = attr.reshape(tile, tile, dpad)
+        return 0
+
+    jax.lax.fori_loop(0, rows_per, row_body, 0)
 
 
 @functools.partial(
@@ -984,46 +986,66 @@ def zbuffer_sweep_rows_attrs_batched(
 
     face_vmem = face_data.reshape(B, nc, chunk, 16).transpose(0, 1, 3, 2)
     attr_pad = jnp.pad(corner_attrs, ((0, 0), (0, 0), (0, 0), (0, dpad - D)))
-    attr_vmem = (
-        attr_pad.reshape(B, nc, chunk, 3, dpad).transpose(0, 1, 3, 4, 2)
-    )  # (B, nc, 3, dpad, chunk)
+    # Winner-recovery operand: edge coefficients + the 3 corner-attr rows
+    # concatenated along the output columns — one matmul per chunk in the
+    # kernel's second pass.
+    attr_rows = (
+        attr_pad.reshape(B, nc, chunk, 3 * dpad).transpose(0, 1, 3, 2)
+    )  # (B, nc, 3*dpad, chunk)
+    rec_vmem = jnp.concatenate(
+        [face_vmem[:, :, :9, :], attr_rows], axis=2
+    )  # (B, nc, 9 + 3*dpad, chunk)
+
+    # Rows per invocation: more rows amortize the per-invocation fixed cost
+    # (grid sequencing + output-block DMA — measured ~18 us/invocation, the
+    # LARGEST term of the per-tile kernel at the shipping shape), bounded by
+    # the out-block VMEM footprint (double-buffered by the pipeline).
+    # (The kernel body stays one row wide regardless — rows ride a dynamic
+    # loop. r <= 3 is the empirical Mosaic scoped-VMEM ceiling at the
+    # shipping shape: r=5 pushes the double-buffered out blocks + kernel
+    # stack past the 16 MB scoped limit; the byte bound guards odd shapes.)
+    rows_per = 1
+    for r in range(min(h_tiles, 3), 0, -1):
+        if h_tiles % r == 0 and r * tile * w * (dpad + 2) * 4 <= 1 << 20:
+            rows_per = r
+            break
 
     kernel = functools.partial(
         _rows_attrs_kernel_batched, tile=tile, w_tiles=w_tiles, chunk=chunk,
-        dpad=dpad, min_depth=min_depth,
+        dpad=dpad, rows_per=rows_per, min_depth=min_depth,
     )
     zt, ft, at = pl.pallas_call(
         kernel,
-        grid=(B, h_tiles),
+        grid=(B, h_tiles // rows_per),
         in_specs=[
             pl.BlockSpec(
-                (1, T, nc), lambda b, r: (b, 0, 0),
+                (1, T, nc), lambda b, g: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, T), lambda b, r: (b, 0, 0),
+                (1, 1, T), lambda b, g: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, nc, 16, chunk), lambda b, r: (b, 0, 0, 0),
+                (1, nc, 16, chunk), lambda b, g: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nc, 3, dpad, chunk), lambda b, r: (b, 0, 0, 0, 0),
+                (1, nc, 9 + 3 * dpad, chunk), lambda b, g: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, tile, w), lambda b, r: (b, r, 0, 0),
+                (1, rows_per, tile, w), lambda b, g: (b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, tile, w), lambda b, r: (b, r, 0, 0),
+                (1, rows_per, tile, w), lambda b, g: (b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, tile, w, dpad), lambda b, r: (b, r, 0, 0, 0),
+                (1, rows_per, tile, w, dpad), lambda b, g: (b, g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1033,7 +1055,7 @@ def zbuffer_sweep_rows_attrs_batched(
             jax.ShapeDtypeStruct((B, h_tiles, tile, w, dpad), jnp.float32),
         ),
         interpret=interpret,
-    )(ids, counts[:, None, :], face_vmem, attr_vmem)
+    )(ids, counts[:, None, :], face_vmem, rec_vmem)
 
     return (
         zt.reshape(B, h, w),

@@ -418,11 +418,12 @@ def rasterize_with_vis_attrs(
 
         face_data, bbox = jax.vmap(_prep_single)(uv, z)
         corner_attrs = jax.vmap(lambda a: a[faces])(vis_attrs)  # (B, F, 3, D)
-        # One kernel over a (B, tile-rows) grid — the per-(b, tile) grid's
+        # One kernel over a (B, 3-tile-row) grid — the per-(b, tile) grid's
         # fixed invocation cost dominated (most tiles sweep 0-2 chunks after
-        # culling); the row kernel is 2.3x faster at the shipping shape and
-        # bit-identical (BENCHLOG round 3). RNNPOSE_RASTER_GRID=tile restores
-        # the per-tile kernel for A/B.
+        # culling); the row kernel is 1.8x faster at the shipping shape and
+        # bit-identical (BENCHLOG round 3 item 7: 7.08 -> 3.94 ms/call,
+        # full-model B=8 115.5 -> 144.2 fps with the fused winner recovery).
+        # RNNPOSE_RASTER_GRID=tile restores the per-tile kernel for A/B.
         sweep = (
             zbuffer_sweep_tiled_attrs_batched
             if _GRID_PREF == "tile" else zbuffer_sweep_rows_attrs_batched
