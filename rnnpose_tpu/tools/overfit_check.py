@@ -24,6 +24,25 @@ def main(argv=None):
     p.add_argument("--zoom", type=int, default=120)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lm_res", type=str, default="full")
+    # Fixture scale knobs (CI uses a reduced fixture: the full one needs
+    # ~15+ s/step on the 1-core CPU box).
+    p.add_argument("--num_verts", type=int, default=512)
+    p.add_argument("--num_faces", type=int, default=1024)
+    p.add_argument("--subdivisions", type=int, default=3)
+    p.add_argument("--kp_layers", type=int, default=3)
+    p.add_argument("--kp_dl", type=float, default=0.012)
+    p.add_argument("--render_iters", type=int, default=3)
+    p.add_argument("--gru_iters", type=int, default=4)
+    p.add_argument(
+        "--eval_mode", choices=("heldout", "train_newinit"),
+        default="heldout",
+        help="'heldout': unseen frames (viewpoint generalization; needs a "
+        "large fixture + step budget to converge). 'train_newinit': the "
+        "training frames with FRESH init-pose noise — a weaker but "
+        "fast-converging health check (new inits mean new crops, renders "
+        "and flow targets, so broken training still fails it) sized for "
+        "the 1-core CPU CI box.",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -38,15 +57,33 @@ def main(argv=None):
 
     def make(seed, with_corr=True):
         syn = SyntheticConfig(
-            image_size=args.image_size, num_verts=512, num_faces=1024,
-            subdivisions=3, kp_layers=3, kp_dl=0.012, seed=seed,
+            image_size=args.image_size, num_verts=args.num_verts,
+            num_faces=args.num_faces, subdivisions=args.subdivisions,
+            kp_layers=args.kp_layers, kp_dl=args.kp_dl, seed=seed,
         )
         inputs, kp_cfg = make_synthetic_inputs(syn, with_corr=with_corr)
         return jax.tree.map(jnp.asarray, inputs), kp_cfg
 
     t0 = time.time()
     train_set = [make(s)[0] for s in range(args.train_frames)]
-    eval_set = [make(1000 + s)[0] for s in range(args.eval_frames)]
+    if args.eval_mode == "heldout":
+        eval_set = [make(1000 + s)[0] for s in range(args.eval_frames)]
+    else:
+        # Same frames, fresh init-pose noise (eval path needs no corr).
+        # Two independent draws per frame: the per-frame ADD of a
+        # near-converged model is noisy, and CI thresholds need the mean.
+        from ..data.poses import sample_noisy_poses
+
+        rs_init = np.random.RandomState(12345)
+        eval_set = [
+            b._replace(
+                T_init=jnp.asarray(
+                    sample_noisy_poses(np.asarray(b.T_gt), rs_init)
+                )
+            )
+            for _ in range(2)
+            for b in train_set[: args.eval_frames]
+        ]
     _, kp_cfg = make(0)
     print(f"data built in {time.time() - t0:.0f}s")
 
@@ -55,7 +92,10 @@ def main(argv=None):
         ctx_kp=dataclasses.replace(
             kp_cfg, final_feats_dim=256, normalize_output=False
         ),
-        refiner=RefinerConfig(zoom_crop_size=args.zoom, lm_res=args.lm_res),
+        refiner=RefinerConfig(
+            zoom_crop_size=args.zoom, lm_res=args.lm_res,
+            render_iters=args.render_iters, gru_iters=args.gru_iters,
+        ),
     )
     model = RNNPose(cfg)
     params = jax.jit(lambda k: model.init(k, train_set[0], train=False))(
