@@ -73,11 +73,41 @@ def solve_spd(H: jnp.ndarray, b: jnp.ndarray, delta_clamp: float = 1.0) -> jnp.n
     d_inv = 1.0 / d
     Hs = H * d_inv[..., :, None] * d_inv[..., None, :]
     bs = b * d_inv
-    L = jnp.linalg.cholesky(Hs)
-    y = jax.scipy.linalg.solve_triangular(L, bs[..., None], lower=True)
-    y = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False
-    )[..., 0]
+    n = H.shape[-1]
+    if n <= 8:
+        # Unrolled Cholesky-Crout + substitution: ~n^2 fused elementwise ops,
+        # batched over leading dims. Beats the generic path twice over: XLA's
+        # blocked cholesky/triangular-solve are while-loop machinery that a
+        # 6x6 LM system never amortizes (TPU), and on CPU they lower to
+        # LAPACK FFI custom calls that a deserialize-only `jax.export`
+        # consumer process has no registration for (the repo-free serving
+        # contract, tests/test_export.py::test_export_standalone_consumer).
+        L = [[None] * n for _ in range(n)]
+        for j in range(n):
+            s = Hs[..., j, j] - sum(L[j][k] ** 2 for k in range(j))
+            # No clamp: non-SPD input must yield NaN (like LAPACK potrf's
+            # failure) so the isfinite zeroing below catches it.
+            L[j][j] = jnp.sqrt(s)
+            for i in range(j + 1, n):
+                s = Hs[..., i, j] - sum(L[i][k] * L[j][k] for k in range(j))
+                L[i][j] = s / L[j][j]
+        yv = []
+        for i in range(n):
+            yv.append(
+                (bs[..., i] - sum(L[i][k] * yv[k] for k in range(i))) / L[i][i]
+            )
+        xv = [None] * n
+        for i in reversed(range(n)):
+            xv[i] = (
+                yv[i] - sum(L[k][i] * xv[k] for k in range(i + 1, n))
+            ) / L[i][i]
+        y = jnp.stack(xv, axis=-1)
+    else:
+        L = jnp.linalg.cholesky(Hs)
+        y = jax.scipy.linalg.solve_triangular(L, bs[..., None], lower=True)
+        y = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), y, lower=False
+        )[..., 0]
     x = y * d_inv
     x = jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
     return jnp.clip(x, -delta_clamp, delta_clamp)
