@@ -94,16 +94,25 @@ def _axis_interp_matrix(center: jnp.ndarray, size: int, radius: int) -> jnp.ndar
 
 
 def corr_lookup(
-    pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
+    pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4,
+    impl: str = "mulreduce",
 ) -> jnp.ndarray:
     """Sample a (2r+1)^2 window around `coords/2^i` at every pyramid level.
 
     TPU-native formulation: the windowed bilinear lookup is separable, so for
-    each level it is evaluated as two batched band-matrix multiplications
+    each level it is evaluated as two per-query band contractions
       out[q] = Ay[q] @ corr_level[q] @ Ax[q]^T
-    with Ay/Ax the per-query axis interpolation matrices — pure MXU work,
-    replacing the pathological per-tap gathers XLA would emit for a direct
-    `grid_sample` port of the reference (`thirdparty/raft/corr.py:36-57`).
+    with Ay/Ax the per-query axis interpolation matrices, replacing the
+    pathological per-tap gathers XLA would emit for a direct `grid_sample`
+    port of the reference (`thirdparty/raft/corr.py:36-57`).
+
+    `impl` selects how the contraction is evaluated — identical math:
+      * 'mulreduce' (default): explicit broadcast-multiply + sum. The
+        matrices are tiny (win=9, Hl<=30) so a batched dot_general would run
+        B*N (=7200 at shipping shapes) sequential ~1%-utilized MXU passes;
+        the elementwise form stays on the VPU where ~60 MFLOP is negligible
+        and fuses with the weight construction.
+      * 'bandmm': batched `einsum` (dot_general) form, kept for A/B timing.
 
     Args:
       pyramid: from `build_corr_pyramid`.
@@ -128,12 +137,21 @@ def corr_lookup(
         Ay = _axis_interp_matrix(cy * scale, Hl, radius)      # (BN, win, Hl)
         Ax = _axis_interp_matrix(cx * scale, Wl, radius)      # (BN, win, Wl)
         vol = corr.reshape(B * N, Hl, Wl)
-        rows = jnp.einsum(
-            "qdy,qyx->qdx", Ay, vol, preferred_element_type=jnp.float32
-        )                                                     # (BN, win, Wl)
-        out = jnp.einsum(
-            "qdx,qex->qed", rows, Ax, preferred_element_type=jnp.float32
-        )                                                     # (BN, win, win)
+        if impl == "mulreduce":
+            volf = vol.astype(jnp.float32)
+            rows = jnp.sum(
+                Ay[:, :, :, None] * volf[:, None, :, :], axis=2
+            )                                                 # (BN, win, Wl)
+            out = jnp.sum(
+                rows[:, :, None, :] * Ax[:, None, :, :], axis=3
+            ).transpose(0, 2, 1)                              # (BN, win, win)
+        else:
+            rows = jnp.einsum(
+                "qdy,qyx->qdx", Ay, vol, preferred_element_type=jnp.float32
+            )                                                 # (BN, win, Wl)
+            out = jnp.einsum(
+                "qdx,qex->qed", rows, Ax, preferred_element_type=jnp.float32
+            )                                                 # (BN, win, win)
         # Window flattening is x-offset-major: the reference builds its
         # window as stack(meshgrid(dy, dx)) and adds it to (x, y) centroids
         # (`corr.py:44-50`), so its first window axis offsets x. Converted
