@@ -99,6 +99,7 @@ class LinemodSynRealDataset(Dataset):
         self.voc_root = voc_root
         self.max_verts = max_verts
         self.max_faces = max_faces
+        self.seed = seed
         self.rs = np.random.RandomState(seed)
         self.rgb_transform = make_transforms(is_train, seed)
         self.init_pose_type = init_pose_type
@@ -240,7 +241,9 @@ class LinemodSynRealDataset(Dataset):
             d = d / 1000.0
         return d
 
-    def _paste_voc_background(self, image: np.ndarray, fg_mask: np.ndarray) -> np.ndarray:
+    def _paste_voc_background(
+        self, image: np.ndarray, fg_mask: np.ndarray, rs: np.random.RandomState
+    ) -> np.ndarray:
         """Random VOC background behind synthetic renders (reference 205-257)."""
         if self.voc_root is None:
             return image
@@ -253,7 +256,7 @@ class LinemodSynRealDataset(Dataset):
             return image
         with open(list_path) as f:
             names = [l.split()[0] for l in f if l.strip()]
-        name = names[self.rs.randint(len(names))]
+        name = names[rs.randint(len(names))]
         bg_path = os.path.join(
             self.voc_root, "VOCdevkit/VOC2012/JPEGImages", f"{name}.jpg"
         )
@@ -283,7 +286,37 @@ class LinemodSynRealDataset(Dataset):
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         """Returns an unbatched sample dict; raises TooFewCorrespondences on
         degenerate frames (caller skips to the next index, reference 421-437).
+
+        Draws augmentation randomness from the dataset-lifetime stream
+        `self.rs` (reference semantics: depends on call history, NOT
+        thread-safe). The training loader uses `sample_at` instead.
         """
+        return self.sample(idx, self.rs)
+
+    def sample_at(self, idx: int, position: int) -> Dict[str, Any]:
+        """`__getitem__` with randomness a pure function of (seed, position).
+
+        `position` is the sample's global position in the training stream
+        (step * batch_size + slot, i.e. the sampler cursor). Deriving one
+        fresh RNG per position makes the sample independent of call history,
+        which buys three properties the reference's stateful augmentation
+        lacks (`data/transforms.py:81-99` + torch DataLoader workers):
+        thread-safe prefetching, loader-thread-count invariance, and
+        bit-reproducible `--resume` (the fast-forwarded stream reproduces
+        the uninterrupted run exactly; asserted by
+        tests/test_resume_equivalence.py). The same index recurs across
+        epochs at different positions, so per-epoch augmentation still
+        varies — the property the reference's epoch-seeded sampler exists
+        for (`utils/distributed_utils.py:263-314`).
+        """
+        mix = (
+            self.seed * 0x9E3779B97F4A7C15 + position * 0xBF58476D1CE4E5B9
+        ) & 0xFFFFFFFFFFFFFFFF  # wrap in python ints (np.uint64 would raise)
+        mix ^= mix >> 31
+        rs = np.random.RandomState(mix % (2**32 - 1))
+        return self.sample(idx, rs)
+
+    def sample(self, idx: int, rs: np.random.RandomState) -> Dict[str, Any]:
         fr = self.frames[idx]
         cls = fr["class_name"]
         assets = self.class_assets(cls)
@@ -297,7 +330,7 @@ class LinemodSynRealDataset(Dataset):
         RT_gt = np.asarray(fr["gt_pose"], np.float32)[:3, :4]
 
         if fr.get("is_syn", False) or "syn" in str(fr.get("rgb_observed_path", "")):
-            image = self._paste_voc_background(image, depth > 0)
+            image = self._paste_voc_background(image, depth > 0, rs)
 
         # init pose
         if self.is_train:
@@ -305,7 +338,7 @@ class LinemodSynRealDataset(Dataset):
                 RT_init = np.asarray(fr["pose_noisy_rendered"], np.float32)[:3, :4]
             else:
                 RT_init = sample_noisy_poses(
-                    pose_padding(RT_gt[None]), self.rs
+                    pose_padding(RT_gt[None]), rs
                 )[0, :3, :4]
         else:
             if self.init_poses is not None and "index" not in fr:
@@ -340,7 +373,7 @@ class LinemodSynRealDataset(Dataset):
             output_size=self.prep_cfg.crop_size,
         )
         if self.is_train:
-            image_c = self.rgb_transform(image_c)
+            image_c = self.rgb_transform(image_c, rs)
 
         # normalized-frame lifting + correspondences
         _, RT_norm, _, _ = prep.normalize_model(
@@ -358,7 +391,7 @@ class LinemodSynRealDataset(Dataset):
             corr = prep.build_correspondence_set(
                 lifted, px,
                 assets.model_points_norm[assets.point_valid > 0],
-                pairs, depth_c > 0, self.prep_cfg, self.rs,
+                pairs, depth_c > 0, self.prep_cfg, rs,
             )
 
         return {

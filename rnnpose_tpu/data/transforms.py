@@ -58,13 +58,23 @@ def color_jitter(
     return np.clip(out, 0.0, 1.0)
 
 
-def make_transforms(is_train: bool, seed: int = 0) -> Callable[[np.ndarray], np.ndarray]:
-    """Compose like the reference `make_transforms`."""
-    rs = np.random.RandomState(seed)
-    if not is_train:
-        return lambda img: img
+def make_transforms(is_train: bool, seed: int = 0) -> Callable[..., np.ndarray]:
+    """Compose like the reference `make_transforms`.
 
-    def apply(img):
+    The returned callable takes `(img, rs=None)`. With `rs=None` it draws
+    from an internal stream seeded at construction (reference semantics —
+    augmentation depends on call history). Passing an explicit per-sample
+    `rs` makes the augmentation a pure function of that RNG — required for
+    thread-safe prefetching and bit-reproducible `--resume` (the trainer
+    derives one RNG per (seed, sample position); see
+    `LinemodSynRealDataset.sample_at`).
+    """
+    rs_default = np.random.RandomState(seed)
+    if not is_train:
+        return lambda img, rs=None: img
+
+    def apply(img, rs=None):
+        rs = rs_default if rs is None else rs
         img = random_blur(img, rs)
         img = color_jitter(img, rs)
         return img

@@ -51,15 +51,21 @@ def add_error(R_pred, t_pred, R_gt, t_gt, pts, valid=None) -> jnp.ndarray:
 
 
 def adds_error(R_pred, t_pred, R_gt, t_gt, pts, valid=None) -> jnp.ndarray:
-    """ADD-S for symmetric objects: nearest-GT-point matching
-    (reference `eval_metric.py:149-179` + CUDA NN kernel)."""
+    """ADD-S for symmetric objects: for each GT-posed point, the distance to
+    its nearest PREDICTED-posed point, averaged over GT points — the
+    reference's matching direction (`eval_metric.py:166-171`:
+    `idxs = find_nearest_point_idx(model_pred, model_targets)` queries the
+    targets against the prediction set, then averages
+    `model_pred[idxs] - model_targets`). The opposite direction (per-pred
+    nearest GT) differs on asymmetric-error poses; caught by
+    tests/test_eval_reference_ab.py."""
     a = transform_pts(R_pred, t_pred, pts)
     b = transform_pts(R_gt, t_gt, pts)
-    d2 = pairwise_sqdist(a, b)  # (B, N, N)
+    d2 = pairwise_sqdist(a, b)  # (B, N_pred, N_gt)
     if valid is not None:
         big = jnp.asarray(1e12, d2.dtype)
-        d2 = jnp.where(valid[:, None, :] > 0, d2, big)
-    d = jnp.sqrt(jnp.min(d2, axis=-1))
+        d2 = jnp.where(valid[:, :, None] > 0, d2, big)  # mask pred rows
+    d = jnp.sqrt(jnp.min(d2, axis=-2))  # per-GT-point nearest pred
     if valid is None:
         return jnp.mean(d, axis=-1)
     m = valid.astype(d.dtype)

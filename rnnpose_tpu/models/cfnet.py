@@ -135,10 +135,13 @@ class GRUFlowStep(nn.Module):
     corr_radius: int = 4
     dtype: Any = None
     emit_full_flow: bool = True
+    corr_impl: str = "mulreduce"   # corr_lookup lowering; see ops/corr.py
 
     @nn.compact
     def __call__(self, h, inp, pyramid: corr_ops.CorrPyramid, coords_lr, grid_lr):
-        corr_feats = corr_ops.corr_lookup(pyramid, coords_lr, self.corr_radius)
+        corr_feats = corr_ops.corr_lookup(
+            pyramid, coords_lr, self.corr_radius, impl=self.corr_impl
+        )
         flow_lr = coords_lr - grid_lr
         h, mask, delta = BasicUpdateBlock(dtype=self.dtype, name="update_block")(
             h, inp, corr_feats, flow_lr

@@ -98,6 +98,10 @@ class RefinerConfig:
                                    # raster+attr kernel outweigh the 3/8
                                    # face saving. Kept selectable for much
                                    # larger face budgets.
+    corr_impl: str = "mulreduce"   # corr_lookup contraction lowering
+                                   # ('mulreduce' | 'bandmm'); on-chip
+                                   # ablation at shipping shapes (B=8):
+                                   # 2.67 vs 5.11 ms standalone (BENCHLOG r4)
     lm_res: str = "eighth"         # LM residual grid: 'eighth' (default,
                                    # TPU-first: normal equations accumulated
                                    # on the 1/8 grid the flow actually lives
@@ -203,7 +207,8 @@ class _InnerStep(nn.Module):
         )
         h, coords_lr, flow_up = GRUFlowStep(
             cfg.corr_radius, dtype=cfg.compute_dtype,
-            emit_full_flow=cfg.emit_full_flow, name="cf_step"
+            emit_full_flow=cfg.emit_full_flow, corr_impl=cfg.corr_impl,
+            name="cf_step"
         )(carry["h"], c["inp"], pyramid, coords_lr, grid_lr)
         target = flow_up + grid[None] if cfg.emit_full_flow else None
 

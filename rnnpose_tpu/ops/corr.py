@@ -120,9 +120,12 @@ def corr_lookup(
       radius: lookup radius r (reference corr_radius=4 -> 81 taps/level).
     Returns:
       (B, H, W, num_levels * (2r+1)^2) correlation features, level-major with
-      row-major (dy, dx) window order — matching the reference concat order
-      for checkpoint compatibility.
+      x-offset-major (dx-major, dy fastest) window order — matching the
+      reference concat order for checkpoint compatibility (see the inline
+      note at the reshape below).
     """
+    if impl not in ("mulreduce", "bandmm"):
+        raise ValueError(f"corr_lookup impl must be 'mulreduce' or 'bandmm', got {impl!r}")
     B, H, W, _ = coords.shape
     N = H * W
     win = 2 * radius + 1

@@ -32,11 +32,34 @@ def weighted_reduce_metrics(
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        gathered = multihost_utils.process_allgather(summaries)
-        flat: List[Dict[str, float]] = []
-        for shard in np.asarray(gathered).reshape(-1):
-            flat.extend(shard if isinstance(shard, list) else [shard])
-        summaries = flat
+        # `process_allgather` gathers LEAF-wise and needs the same pytree
+        # on every host; per-host summary COUNTS differ (frames are
+        # class/process-strided), so gathering the raw list would be a
+        # pytree mismatch. Reduce locally to ONE fixed-key dict of weighted
+        # sums first, gather that ((nproc,) leaves), then finish globally.
+        # Requires every host to see the same metric KEY set — true for
+        # the evaluators (fixed key set per evaluator class); a host with
+        # zero frames must still call this with an all-zero summary.
+        local_w = float(sum(s.get(weight_key, 0) for s in summaries))
+        keys = sorted({k for s in summaries for k in s if k != weight_key})
+        local = {
+            k: float(
+                sum(s.get(k, 0.0) * s.get(weight_key, 0) for s in summaries)
+            )
+            for k in keys
+        }
+        local[weight_key] = local_w
+        gathered = multihost_utils.process_allgather(local)
+        total_w = float(np.sum(gathered[weight_key]))
+        if total_w == 0:
+            return {weight_key: 0}
+        out = {
+            k: float(np.sum(v)) / total_w
+            for k, v in gathered.items()
+            if k != weight_key
+        }
+        out[weight_key] = total_w
+        return out
 
     total_w = sum(s.get(weight_key, 0) for s in summaries)
     if total_w == 0:

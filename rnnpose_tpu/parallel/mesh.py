@@ -53,13 +53,23 @@ def shard_batch(batch, mesh: Mesh, batch_size: int, axis_name: str = "data"):
     mesh vertices — the analog of the reference keeping renderer state per
     process) is replicated.
 
-    If `batch_size` does not divide the mesh, everything is replicated
-    (single-chip / degenerate case).
+    Multi-process (`--multihost`): `batch_size` is the PER-PROCESS batch —
+    each host loads only its sampler shard (reference per-rank DataLoader
+    semantics, `utils/distributed_utils.py:239-260`) and the leaves are
+    assembled into the global array with
+    `jax.make_array_from_process_local_data` (global batch =
+    batch_size x process_count). Non-batch leaves must be identical on
+    every process (class constants / synthetic batches are, by
+    construction: pure functions of seed+config).
+
+    If the per-device batch does not come out whole, everything is
+    replicated (single-chip / degenerate case).
     """
     n = mesh.devices.size
+    n_proc = jax.process_count()
     ds = data_sharding(mesh, axis_name)
     rep = replicated(mesh)
-    shardable = batch_size % n == 0 and batch_size > 0
+    shardable = batch_size > 0 and (batch_size * n_proc) % n == 0
 
     def place(x):
         if (
@@ -68,11 +78,21 @@ def shard_batch(batch, mesh: Mesh, batch_size: int, axis_name: str = "data"):
             and x.ndim >= 1
             and x.shape[0] == batch_size
         ):
+            if n_proc > 1:
+                return jax.make_array_from_process_local_data(
+                    ds, np.asarray(x)
+                )
             return jax.device_put(x, ds)
-        return jax.device_put(x, rep)
+        return jax.device_put(np.asarray(x) if n_proc > 1 else x, rep)
 
     return jax.tree.map(place, batch)
 
 
 def replicate_params(params, mesh: Mesh):
+    """Replicate a pytree over the mesh. Multi-process: values must already
+    be identical on every host (same-seed init / same checkpoint file);
+    leaves go host->global via numpy so `device_put` accepts the
+    cross-process sharding."""
+    if jax.process_count() > 1:
+        params = jax.tree.map(lambda x: np.asarray(x), params)
     return jax.device_put(params, replicated(mesh))

@@ -59,66 +59,274 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def evaluate_frames(model, params, frames, max_frames=None):
-    """Shared eval loop: frames yields (inputs, cls, diameter, model_points,
-    point_valid). Returns (per-class summaries dict, overall dict).
-    Used by the CLI below and by the trainer's periodic eval
-    (reference `eval_once`, tools/train.py:666-757)."""
-    import time
+def make_frame_stream(
+    dataset, eval_batch=1, max_frames=None, stride=1, mesh=None,
+    collate=None,
+):
+    """Class-grouped, padded, optionally mesh-sharded eval frame chunks.
 
+    The ONE frame-streaming path for both the eval CLI and the trainer's
+    periodic eval (reference `eval_once`, tools/train.py:666-757): ordered
+    host prefetch over the dataset, per-class chunk grouping to
+    `eval_batch`, tail chunks padded by repeating the last frame (static
+    shapes), and — when `eval_batch` is a multiple of the device count —
+    SPMD batch sharding over `mesh`.
+
+    Yields (inputs, cls, diameter_m, model_points, point_valid, raws) where
+    `raws` is the list of the chunk's REAL sample dicts (padding excluded).
+    """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from ..eval.evaluator import PoseEvaluator
-    from ..models.rnnpose import RNNPose
-    from ..parallel.collectives import weighted_reduce_metrics
+    from ..data.linemod import collate_samples
+    from ..data.linemod_config import diameter_m
+    from ..data.loader import prefetch_map
 
-    fwd = jax.jit(
-        lambda p, x, d3, c3: model.apply(
-            p, x, train=False, cached_desc3d=d3, cached_ctx3d=c3
-        )["Ti_pred"]
-    )
-    enc3d = jax.jit(lambda p, pyr: model.apply(p, pyr, method=RNNPose.encode_3d))
-    cache, evaluators = {}, {}
-    t_total, n_frames = 0.0, 0
-    for inputs, cls, diameter, model_points, point_valid in frames:
-        if max_frames is not None and n_frames >= max_frames:
-            break
-        if cls not in cache:
-            cache[cls] = enc3d(params, inputs.pyramid)
-            pts = (
-                model_points[point_valid > 0]
-                if point_valid is not None else model_points
-            )
-            evaluators[cls] = PoseEvaluator(cls, diameter, pts)
-        desc3d, ctx3d = cache[cls]
-        t0 = time.perf_counter()
-        T_pred = fwd(params, inputs, desc3d, ctx3d)
-        T_pred.block_until_ready()
-        t_total += time.perf_counter() - t0
-        n_frames += 1
-        evaluators[cls].evaluate(
-            np.asarray(T_pred), np.asarray(inputs.T_gt),
-            np.asarray(inputs.intrinsics),
+    collate = collate or collate_samples
+    eval_batch = max(1, int(eval_batch))
+    n_dev = jax.device_count()
+    # Multi-process: frames are process-strided, so chunks DIFFER per host
+    # and cannot be device_put onto a global mesh (that contract needs the
+    # same global value everywhere). Each host then batches on its local
+    # devices only; weighted_reduce_metrics allgathers at the end.
+    if jax.process_count() > 1:
+        n_dev = jax.local_device_count()
+        mesh = None
+    shard = eval_batch > 1 and eval_batch % n_dev == 0 and n_dev > 1
+    if shard and mesh is None:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            jax.local_devices() if jax.process_count() > 1 else None
         )
-    results = {cls: ev.summarize() for cls, ev in evaluators.items()}
-    overall = weighted_reduce_metrics(list(results.values()))
-    overall["fps"] = n_frames / max(t_total, 1e-9)
+    if shard:
+        from ..parallel.mesh import shard_batch
+
+    _diam_cache = {}
+
+    def _diameter(cls, assets):
+        """LINEMOD table; else exact max pairwise extent of the model points
+        (YCB/BOP classes carry no table entry — the reference reads
+        per-model diameter files, `eval_metric.py:64-70`)."""
+        if cls not in _diam_cache:
+            try:
+                _diam_cache[cls] = diameter_m(cls)
+            except KeyError:
+                pts = assets.model_points[assets.point_valid > 0]
+                d2 = ((pts[None] - pts[:, None]) ** 2).sum(-1)
+                _diam_cache[cls] = float(np.sqrt(d2.max()))
+        return _diam_cache[cls]
+
+    def _emit(chunk):
+        n_real = len(chunk)
+        full = chunk + [chunk[-1]] * (eval_batch - n_real)
+        cls = full[0]["class_name"]
+        assets = dataset.class_assets(cls)
+        inputs = jax.tree.map(jnp.asarray, collate(full))
+        if shard:
+            inputs = shard_batch(inputs, mesh, eval_batch)
+        return (
+            inputs, cls, _diameter(cls, assets),
+            assets.model_points, assets.point_valid, chunk,
+        )
+
+    def gen():
+        n = len(dataset)
+        if max_frames:
+            n = min(n, max_frames * max(stride, 1))
+        idxs = range(
+            jax.process_index(), n, max(stride, 1) * jax.process_count()
+        )
+        buffers = {}
+        # Ordered host prefetch: dataset[i] (decode + KD-tree + pyramid)
+        # overlaps device compute, same frame order as the sync loop.
+        for s in prefetch_map(idxs, dataset.__getitem__):
+            cls = s["class_name"]
+            buffers.setdefault(cls, []).append(s)
+            if len(buffers[cls]) == eval_batch:
+                yield _emit(buffers.pop(cls))
+        for cls in list(buffers):
+            yield _emit(buffers.pop(cls))
+
+    return gen()
+
+
+class EvalRunner:
+    """The ONE evaluation loop, shared by the eval CLI and the trainer's
+    periodic eval (VERDICT r3 #8). Holds the jitted forwards so repeated
+    periodic evals reuse the compiled executables instead of re-jitting.
+
+    Frames may be 5-tuples (inputs, cls, diameter, model_points,
+    point_valid) or 6-tuples with a trailing `raws` list of the chunk's
+    real sample dicts (enables padding-drop, original-K Proj2D, and ICP
+    depth clouds).
+    """
+
+    def __init__(
+        self, model, *, icp=False, icp_iters=10, icp_corr_dist=0.02,
+        icp_points=1024, evaluator="auto",
+    ):
+        import jax
+
+        from ..models.rnnpose import RNNPose
+
+        self.model = model
+        self.icp = icp
+        self.icp_iters = icp_iters
+        self.icp_corr_dist = icp_corr_dist
+        self.icp_points = icp_points
+        self.evaluator = evaluator
+        self.fwd = jax.jit(
+            lambda p, x, d3, c3: model.apply(
+                p, x, train=False, cached_desc3d=d3, cached_ctx3d=c3
+            )["Ti_pred"]
+        )
+        self.enc3d = jax.jit(
+            lambda p, pyr: model.apply(p, pyr, method=RNNPose.encode_3d)
+        )
+
+    def _make_evaluator(self, cls, diameter, model_points, point_valid):
+        from ..data.ycb import BOP_YCB_CLASSES
+        from ..eval.evaluator import PoseEvaluator, YCBEvaluator
+
+        use_ycb = self.evaluator == "ycb" or (
+            self.evaluator == "auto" and cls in BOP_YCB_CLASSES
+        )
+        ev_cls = YCBEvaluator if use_ycb else PoseEvaluator
+        pts = (
+            model_points[point_valid > 0]
+            if point_valid is not None else model_points
+        )
+        return ev_cls(
+            cls, diameter, pts,
+            icp_refine=self.icp,
+            icp_iters=self.icp_iters,
+            icp_max_corr_dist=self.icp_corr_dist,
+        )
+
+    def _scene_clouds(self, raws):
+        import numpy as np
+
+        from ..data import preprocess as prep
+
+        m = self.icp_points
+        clouds, valids = [], []
+        for r in raws:
+            depth = r["depth"]
+            K4 = np.asarray(r["intrinsics"])
+            K33 = np.asarray(
+                [[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1]],
+                np.float32,
+            )
+            pts_cam, _ = prep.mask_depth_to_points(depth, K33)
+            if len(pts_cam) > m:
+                sel = np.linspace(0, len(pts_cam) - 1, m).astype(np.int64)
+                pts_cam = pts_cam[sel]
+            pad = m - len(pts_cam)
+            valids.append(np.concatenate(
+                [np.ones(len(pts_cam)), np.zeros(pad)]
+            ).astype(np.float32))
+            clouds.append(np.concatenate(
+                [pts_cam, np.zeros((pad, 3), np.float32)]
+            ))
+        return dict(
+            scene_points=np.stack(clouds), scene_valid=np.stack(valids)
+        )
+
+    def run(
+        self, params, frames, max_frames=None, progress=None,
+        collect_poses=False,
+    ):
+        """Returns (per-class summaries, seq_len-weighted overall,
+        {cls: poses} if collect_poses else None)."""
+        import time
+
+        import numpy as np
+
+        from ..parallel.collectives import weighted_reduce_metrics
+
+        cache, evaluators, poses_out = {}, {}, {}
+        t_total, n_frames = 0.0, 0
+        for item in frames:
+            if max_frames is not None and n_frames >= max_frames:
+                break
+            if len(item) == 5:
+                inputs, cls, diameter, model_points, point_valid = item
+                raw = None
+            else:
+                inputs, cls, diameter, model_points, point_valid, raw = item
+            if cls not in cache:
+                cache[cls] = self.enc3d(params, inputs.pyramid)
+                evaluators[cls] = self._make_evaluator(
+                    cls, diameter, model_points, point_valid
+                )
+            desc3d, ctx3d = cache[cls]
+            t0 = time.perf_counter()
+            T_pred = self.fwd(params, inputs, desc3d, ctx3d)
+            T_pred.block_until_ready()
+            t_total += time.perf_counter() - t0
+            raws = raw if isinstance(raw, list) else (
+                [raw] if isinstance(raw, dict) else None
+            )
+            n_real = len(raws) if raws is not None else inputs.image.shape[0]
+            n_frames += n_real
+            T_np = np.asarray(T_pred)[:n_real]
+            T_gt_np = np.asarray(inputs.T_gt)[:n_real]
+            scene_kw = {}
+            if self.icp:
+                if raws is None:
+                    raise SystemExit(
+                        "--icp needs real depth frames; it cannot be "
+                        "combined with --synthetic (no raw depth on "
+                        "synthetic inputs)."
+                    )
+                scene_kw = self._scene_clouds(raws)
+            # Proj2D must threshold in original-camera pixels (reference
+            # `utils/eval_metric.py:102-110`); the crop intrinsics rescale
+            # pixel units and would skew proj5. Poses are camera-frame, so
+            # the pre-crop K applies directly.
+            if raws is not None and all("orig_intrinsics" in r for r in raws):
+                K_eval = np.stack(
+                    [np.asarray(r["orig_intrinsics"]) for r in raws]
+                )
+            else:
+                K_eval = np.asarray(inputs.intrinsics)[:n_real]
+            evaluators[cls].evaluate(T_np, T_gt_np, K_eval, **scene_kw)
+            if collect_poses:
+                poses_out.setdefault(cls, []).append(T_np)
+            if progress is not None:
+                progress.update(n_frames)
+        results = {cls: ev.summarize() for cls, ev in evaluators.items()}
+        overall = weighted_reduce_metrics(list(results.values()))
+        overall["fps"] = n_frames / max(t_total, 1e-9)
+        poses = (
+            {c: np.concatenate(p) for c, p in poses_out.items()}
+            if collect_poses else None
+        )
+        return results, overall, poses
+
+
+def evaluate_frames(model, params, frames, max_frames=None):
+    """Back-compat wrapper: one-shot EvalRunner over 5/6-tuple frames.
+    Returns (per-class summaries dict, overall dict)."""
+    results, overall, _ = EvalRunner(model).run(
+        params, frames, max_frames=max_frames
+    )
     return results, overall
 
 
 def main(argv=None):
     args = parse_args(argv)
     import dataclasses
+    import itertools
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..config.defaults import build_model_config, default_config
-    from ..eval.evaluator import PoseEvaluator
     from ..models.rnnpose import RNNPose
-    from ..parallel.collectives import weighted_reduce_metrics
     from ..train import checkpoint as ckpt_lib
     from ..utils.config_io import merge_cfg
     from ..utils.progress import ProgressBar
@@ -163,71 +371,11 @@ def main(argv=None):
                    np.asarray(inputs.point_valid[0]), None)]
     else:
         from ..config.defaults import build_dataset
-        from ..data.linemod import collate_samples
-        from ..data.linemod_config import diameter_m
 
         dataset = build_dataset(cfg, model_cfg.desc_kp, is_train=False)
-
-        _diam_cache = {}
-
-        def _diameter(cls, assets):
-            """LINEMOD table; else exact max pairwise extent of the model
-            points (YCB/BOP classes carry no table entry — the reference
-            reads per-model diameter files, `eval_metric.py:64-70`)."""
-            if cls not in _diam_cache:
-                try:
-                    _diam_cache[cls] = diameter_m(cls)
-                except KeyError:
-                    pts = assets.model_points[assets.point_valid > 0]
-                    d2 = ((pts[None] - pts[:, None]) ** 2).sum(-1)
-                    _diam_cache[cls] = float(np.sqrt(d2.max()))
-            return _diam_cache[cls]
-
-        eval_batch = max(1, args.eval_batch)
-        n_dev = jax.device_count()
-        shard = eval_batch > 1 and eval_batch % n_dev == 0 and n_dev > 1
-        if shard:
-            from ..parallel.mesh import make_mesh, shard_batch
-
-            mesh = make_mesh()
-
-        def _emit(chunk):
-            # Pad partial chunks by repeating the last frame (static shapes);
-            # only the first len(chunk) predictions are evaluated.
-            n_real = len(chunk)
-            full = chunk + [chunk[-1]] * (eval_batch - n_real)
-            cls = full[0]["class_name"]
-            assets = dataset.class_assets(cls)
-            inputs = jax.tree.map(jnp.asarray, collate_samples(full))
-            if shard:
-                inputs = shard_batch(inputs, mesh, eval_batch)
-            return (
-                inputs, cls, _diameter(cls, assets),
-                assets.model_points, assets.point_valid, chunk,
-            )
-
-        def frame_gen():
-            from ..data.loader import prefetch_map
-
-            n = len(dataset)
-            if args.max_frames:
-                n = min(n, args.max_frames)
-            buffers = {}
-            # Ordered host prefetch: dataset[i] (decode + KD-tree + pyramid)
-            # overlaps device compute, same frame order as the sync loop.
-            samples = prefetch_map(
-                range(jax.process_index(), n, jax.process_count()),
-                dataset.__getitem__,
-            )
-            for s in samples:
-                cls = s["class_name"]
-                buffers.setdefault(cls, []).append(s)
-                if len(buffers[cls]) == eval_batch:
-                    yield _emit(buffers.pop(cls))
-            for cls in list(buffers):
-                yield _emit(buffers.pop(cls))
-
-        frames = frame_gen()
+        frames = make_frame_stream(
+            dataset, eval_batch=args.eval_batch, max_frames=args.max_frames
+        )
 
     if args.parity:
         from ..config.defaults import apply_parity_preset
@@ -236,122 +384,39 @@ def main(argv=None):
 
     model = RNNPose(model_cfg)
 
-    params = None
-    fwd = None
-    cache = {}
-    evaluators = {}
-    poses_out = {}
-    t_total, n_frames = 0.0, 0
-    bar = ProgressBar()
-    for inputs, cls, diameter, model_points, point_valid, raw in frames:
-        if params is None:
-            params = jax.jit(lambda k: model.init(k, inputs, train=False))(
-                jax.random.PRNGKey(0)
-            )
-            if args.ckpt_path:
-                # Full-tree restore (orbax matches the on-disk structure,
-                # which includes opt_state/step) and take the params.
-                restored = ckpt_lib.restore_checkpoint(args.ckpt_path)
-                params = restored["params"]
-            fwd = jax.jit(
-                lambda p, x, d3, c3: model.apply(
-                    p, x, train=False, cached_desc3d=d3, cached_ctx3d=c3
-                )["Ti_pred"]
-            )
-            enc3d = jax.jit(
-                lambda p, pyr: model.apply(p, pyr, method=RNNPose.encode_3d)
-            )
-        if cls not in cache:
-            cache[cls] = enc3d(params, inputs.pyramid)
-            from ..data.ycb import BOP_YCB_CLASSES
-            from ..eval.evaluator import YCBEvaluator
+    frames = iter(frames)
+    first = next(frames, None)
+    if first is None:
+        raise SystemExit("eval dataset is empty")
+    params = jax.jit(lambda k: model.init(k, first[0], train=False))(
+        jax.random.PRNGKey(0)
+    )
+    if args.ckpt_path:
+        # Full-tree restore (orbax matches the on-disk structure, which
+        # includes opt_state/step) and take the params.
+        params = ckpt_lib.restore_checkpoint(args.ckpt_path)["params"]
 
-            use_ycb = args.evaluator == "ycb" or (
-                args.evaluator == "auto" and cls in BOP_YCB_CLASSES
-            )
-            ev_cls = YCBEvaluator if use_ycb else PoseEvaluator
-            evaluators[cls] = ev_cls(
-                cls, diameter,
-                model_points[point_valid > 0]
-                if point_valid is not None else model_points,
-                icp_refine=args.icp,
-                icp_iters=args.icp_iters,
-                icp_max_corr_dist=args.icp_corr_dist,
-            )
-        desc3d, ctx3d = cache[cls]
-        t0 = time.perf_counter()
-        T_pred = fwd(params, inputs, desc3d, ctx3d)
-        T_pred.block_until_ready()
-        t_total += time.perf_counter() - t0
-        # `raw` is None (synthetic), one sample dict, or a list of the
-        # chunk's real samples (batched/sharded path) — padded repeats at
-        # the chunk tail are dropped here.
-        raws = raw if isinstance(raw, list) else None
-        n_real = len(raws) if raws is not None else inputs.image.shape[0]
-        n_frames += n_real
-        T_np = np.asarray(T_pred)[:n_real]
-        T_gt_np = np.asarray(inputs.T_gt)[:n_real]
-        scene_kw = {}
-        if args.icp:
-            if raws is None:
-                raise SystemExit(
-                    "--icp needs real depth frames; it cannot be combined "
-                    "with --synthetic (no raw depth on synthetic inputs)."
-                )
-            from ..data import preprocess as prep
+    runner = EvalRunner(
+        model, icp=args.icp, icp_iters=args.icp_iters,
+        icp_corr_dist=args.icp_corr_dist, icp_points=args.icp_points,
+        evaluator=args.evaluator,
+    )
+    results, overall, poses_out = runner.run(
+        params, itertools.chain([first], frames),
+        progress=ProgressBar(), collect_poses=bool(args.dump_poses),
+    )
 
-            m = args.icp_points
-            clouds, valids = [], []
-            for r in raws:
-                depth = r["depth"]
-                K4 = np.asarray(r["intrinsics"])
-                K33 = np.asarray(
-                    [[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1]],
-                    np.float32,
-                )
-                pts_cam, _ = prep.mask_depth_to_points(depth, K33)
-                if len(pts_cam) > m:
-                    sel = np.linspace(0, len(pts_cam) - 1, m).astype(np.int64)
-                    pts_cam = pts_cam[sel]
-                pad = m - len(pts_cam)
-                valids.append(np.concatenate(
-                    [np.ones(len(pts_cam)), np.zeros(pad)]
-                ).astype(np.float32))
-                clouds.append(np.concatenate(
-                    [pts_cam, np.zeros((pad, 3), np.float32)]
-                ))
-            scene_kw = dict(
-                scene_points=np.stack(clouds), scene_valid=np.stack(valids)
-            )
-        # Proj2D must threshold in original-camera pixels (reference
-        # `utils/eval_metric.py:102-110`); the crop intrinsics rescale pixel
-        # units and would skew proj5. Poses are camera-frame, so the
-        # pre-crop K applies directly.
-        if raws is not None and all("orig_intrinsics" in r for r in raws):
-            K_eval = np.stack([np.asarray(r["orig_intrinsics"]) for r in raws])
-        else:
-            K_eval = np.asarray(inputs.intrinsics)[:n_real]
-        evaluators[cls].evaluate(T_np, T_gt_np, K_eval, **scene_kw)
-        if args.dump_poses:
-            poses_out.setdefault(cls, []).append(T_np)
-        bar.update(n_frames)
-
-    results = {}
-    for cls, ev in evaluators.items():
-        results[cls] = ev.summarize()
+    for cls, summary in results.items():
         print(f"\n=== {cls} ===")
-        for k, v in results[cls].items():
+        for k, v in summary.items():
             print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
-    overall = weighted_reduce_metrics(list(results.values()))
-    overall["fps"] = n_frames / max(t_total, 1e-9)
     print("\n=== overall (seq_len weighted) ===")
     print(json.dumps({k: round(float(v), 5) for k, v in overall.items()}))
     if args.dump_poses and poses_out:
         os.makedirs(args.dump_poses, exist_ok=True)
-        for cls, plist in poses_out.items():
+        for cls, parr in poses_out.items():
             np.save(
-                os.path.join(args.dump_poses, f"{cls}_pose_preds.npy"),
-                np.concatenate(plist),
+                os.path.join(args.dump_poses, f"{cls}_pose_preds.npy"), parr
             )
     return overall
 

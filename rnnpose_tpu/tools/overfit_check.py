@@ -153,6 +153,19 @@ def main(argv=None):
           f"({'IMPROVED' if ref_add < init_add else 'WORSE'})")
     print(f"loss: first50 {np.mean(losses[:50]):.4f} -> "
           f"last50 {np.mean(losses[-50:]):.4f}")
+    # Machine-readable result line (parsed by tests/test_viewpoint_health.py
+    # when this runs as a subprocess on the real chip).
+    import json
+
+    print("OVERFIT_CHECK_RESULT " + json.dumps({
+        "init_add_mm": init_add * 1000.0,
+        "ref_add_mm": ref_add * 1000.0,
+        "ratio": ref_add / max(init_add, 1e-12),
+        "loss_first50": float(np.mean(losses[:50])),
+        "loss_last50": float(np.mean(losses[-50:])),
+        "eval_mode": args.eval_mode,
+        "steps": args.steps,
+    }), flush=True)
     return init_add, ref_add, losses
 
 

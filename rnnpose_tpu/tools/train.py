@@ -28,6 +28,11 @@ def parse_args(argv=None):
     p.add_argument("--freeze", type=str, default="",
                    help="comma-separated regexes of params to freeze")
     p.add_argument("--steps", type=int, default=None, help="override total steps")
+    p.add_argument("--stop_after", type=int, default=None,
+                   help="exit the loop after this step WITHOUT changing the "
+                   "configured schedule total — simulates a mid-run kill "
+                   "(LR schedules depend on the total step budget, so "
+                   "shortening --steps instead would change the trajectory)")
     p.add_argument("--display_step", type=int, default=50)
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic fixture dataset")
@@ -35,11 +40,29 @@ def parse_args(argv=None):
     p.add_argument("--syn_zoom", type=int, default=120)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port rendezvous for --multihost when the "
+                   "cluster env (TPU pod / SLURM) cannot auto-detect it — "
+                   "the reference's manual NCCL TCP store "
+                   "(tools/train.py:336-342)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--loader_threads", type=int, default=4,
                    help="host prefetch worker threads (0 = synchronous)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_frames", type=int, default=200,
                    help="frames per periodic in-training eval (0 disables)")
+    p.add_argument("--cost_analysis", action="store_true",
+                   help="log the compiled train step's FLOPs/HBM footprint "
+                   "(XLA cost+memory analysis) before training starts")
+    p.add_argument("--compile_cache_dir", type=str,
+                   default="/tmp/jax_cache_rnnpose",
+                   help="persistent XLA compile cache ('' disables); makes "
+                   "--resume and repeat runs skip the 20-40s TPU compile")
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="frames per periodic-eval forward; multiples of the "
+                   "device count shard over the mesh (the eval CLI's "
+                   "--eval_batch SPMD path, shared via make_frame_stream)")
     return p.parse_args(argv)
 
 
@@ -50,7 +73,19 @@ def main(argv=None):
     import numpy as np
 
     if args.multihost:
-        jax.distributed.initialize()
+        if args.coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            # TPU pods / SLURM: the cluster env auto-detects everything.
+            jax.distributed.initialize()
+    is_lead = jax.process_index() == 0
+    if args.compile_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from ..config.defaults import (
         build_model_config,
@@ -80,8 +115,11 @@ def main(argv=None):
             "--resume (reference guards the same way, tools/train.py:350-352)"
         )
     os.makedirs(args.model_dir, exist_ok=True)
-    save_cfg(cfg, os.path.join(args.model_dir, "config_resolved.yml"),
-             source=args.config_path or "<defaults>")
+    if is_lead:
+        # model_dir may be shared storage: only process 0 writes files
+        # (reference: rank-0 summary/ckpt writes, tools/train.py:544-599).
+        save_cfg(cfg, os.path.join(args.model_dir, "config_resolved.yml"),
+                 source=args.config_path or "<defaults>")
     log = ModelLog(args.model_dir)
 
     opt_cfg = build_optimizer_config(cfg)
@@ -154,6 +192,18 @@ def main(argv=None):
             def collate(samples):
                 return jax.tree.map(jnp.asarray, collate_samples(samples))
 
+            # Pair every index with its global stream position and draw the
+            # sample's augmentation RNG from it (`dataset.sample_at`): the
+            # batch stream is then a pure function of (seed, position) —
+            # thread-safe, loader-thread-count invariant, and bit-identical
+            # across --resume (tests/test_resume_equivalence.py).
+            start = (last_iter + 1) * bs
+            indexed = ((start + k, idx) for k, idx in enumerate(sampler))
+
+            def fetch(pos_idx):
+                pos, idx = pos_idx
+                return dataset.sample_at(idx, pos)
+
             if args.loader_threads > 0:
                 # Host preprocessing overlaps device compute (the reference's
                 # DataLoader workers, `data/preprocess.py:913-929`); order-
@@ -161,18 +211,18 @@ def main(argv=None):
                 from ..data.loader import PrefetchLoader
 
                 return PrefetchLoader(
-                    sampler, dataset.__getitem__, bs, collate,
+                    indexed, fetch, bs, collate,
                     num_threads=args.loader_threads,
                     skip_exc=TooFewCorrespondences,
                 )
 
             def sync_gen():
-                it = iter(sampler)
+                it = iter(indexed)
                 while True:
                     samples = []
                     while len(samples) < bs:
                         try:
-                            samples.append(dataset[next(it)])
+                            samples.append(fetch(next(it)))
                         except TooFewCorrespondences:
                             continue  # skip degenerate frame (reference 421-437)
                         except StopIteration:
@@ -217,37 +267,87 @@ def main(argv=None):
     opt_state = mesh_lib.replicate_params(opt_state, mesh)
     train_step = make_train_step(model, tx)
 
-    # ---- periodic eval setup (reference eval_once, tools/train.py:666-757) ----
+    # ---- periodic eval setup (reference eval_once, tools/train.py:666-757).
+    # Shares the eval CLI's machinery: make_frame_stream (class-grouped,
+    # padded, SPMD-sharded when --eval_batch divides the device count) and
+    # one persistent EvalRunner, so repeated periodic evals reuse the
+    # compiled forwards instead of re-jitting each time.
     eval_frame_gen = None
+    eval_runner = None
     if not args.synthetic and args.eval_frames > 0:
         ecfg = cfg["eval_input_reader"]["dataset"]["kwargs"]
         if ecfg.get("info_paths"):
             from ..config.defaults import build_dataset as _build_ds
-            from ..data.linemod import collate_samples as _collate
-            from ..data.linemod_config import diameter_m as _diam
+            from .eval import EvalRunner, make_frame_stream
 
             eval_ds = _build_ds(cfg, model_cfg.desc_kp, is_train=False)
+            eval_runner = EvalRunner(model)
+            eval_stride = max(len(eval_ds) // args.eval_frames, 1)
 
             def eval_frame_gen():
-                for i in range(0, len(eval_ds), max(len(eval_ds) // args.eval_frames, 1)):
-                    s_ = eval_ds[i]
-                    cls = s_["class_name"]
-                    a = eval_ds.class_assets(cls)
-                    yield (
-                        jax.tree.map(jnp.asarray, _collate([s_])),
-                        cls, _diam(cls), a.model_points, a.point_valid,
-                    )
+                return make_frame_stream(
+                    eval_ds, eval_batch=args.eval_batch,
+                    max_frames=args.eval_frames, stride=eval_stride,
+                    mesh=mesh,
+                )
 
     # ---- loop (reference 531-653) ----
     total = cfg["train_config"]["steps"]
     steps_per_eval = cfg["train_config"]["steps_per_eval"]
     bs = first.image.shape[0]
-    t_last = time.time()
-    while step < total:
+
+    if args.cost_analysis:
+        # Compiled-executable roofline facts for the TRAIN step (fwd + bwd +
+        # optimizer — the eval forward's analog lives in bench.py): XLA's
+        # own post-fusion cost model + memory analysis. With the persistent
+        # compile cache on, the jit call below reloads this executable.
         try:
-            batch = next(batch_iter) if step > 0 else first
-        except StopIteration:
-            break
+            compiled = train_step.lower(
+                params, opt_state,
+                mesh_lib.shard_batch(first, mesh, batch_size=bs),
+            ).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", float("nan")))
+            ma = compiled.memory_analysis()
+            hbm = {
+                "cost/hbm_args_gb": ma.argument_size_in_bytes / 2**30,
+                "cost/hbm_temp_gb": ma.temp_size_in_bytes / 2**30,
+                "cost/hbm_output_gb": ma.output_size_in_bytes / 2**30,
+                "cost/hbm_peak_est_gb": (
+                    ma.argument_size_in_bytes
+                    + ma.temp_size_in_bytes
+                    + ma.output_size_in_bytes
+                    - ma.alias_size_in_bytes
+                ) / 2**30,
+            }
+            log.log_metrics(
+                {
+                    "cost/train_step_gflops": flops / 1e9,
+                    "cost/train_step_gflops_per_sample": flops / 1e9 / bs,
+                    **{k: round(v, 4) for k, v in hbm.items()},
+                },
+                step,
+            )
+        except Exception as e:  # cost model unavailable on some backends
+            log.log_text(f"train-step cost analysis unavailable: {e}", step)
+
+    t_last = time.time()
+    # `first` was pulled from the stream (for init shapes / post-restore
+    # realignment) but not yet trained on — it is the NEXT batch. Consuming
+    # it via `step > 0 ? next : first` instead would drop one batch after
+    # --resume (and end a nearly-exhausted sampler one step early), breaking
+    # resume bit-equality (tests/test_resume_equivalence.py).
+    pending = first
+    while step < total:
+        if pending is not None:
+            batch, pending = pending, None
+        else:
+            try:
+                batch = next(batch_iter)
+            except StopIteration:
+                break
         batch = mesh_lib.shard_batch(batch, mesh, batch_size=bs)
         params, opt_state, metrics = train_step(params, opt_state, batch)
         step += 1
@@ -257,6 +357,9 @@ def main(argv=None):
             t_last = time.time()
             log.log_metrics(m, step)
         if step % steps_per_eval == 0 or step == total:
+            # All processes call: orbax save is collective (primary-host
+            # write + global barriers; see train/checkpoint.py). model_dir
+            # must be shared storage under --multihost.
             ckpt_lib.save_checkpoint(
                 args.model_dir,
                 {"params": jax.device_get(params),
@@ -265,15 +368,15 @@ def main(argv=None):
             )
             log.log_text(f"checkpoint saved at step {step}", step)
             if eval_frame_gen is not None:
-                from .eval import evaluate_frames
-
-                _, overall = evaluate_frames(
-                    model, params, eval_frame_gen(),
-                    max_frames=args.eval_frames,
+                _, overall, _ = eval_runner.run(
+                    params, eval_frame_gen(), max_frames=args.eval_frames
                 )
                 log.log_metrics(
                     {f"eval/{k}": v for k, v in overall.items()}, step
                 )
+        if args.stop_after is not None and step >= args.stop_after:
+            log.log_text(f"stop_after {args.stop_after} reached", step)
+            break
     log.log_text("training done", step)
     getattr(loader, "close", lambda: None)()
     log.close()

@@ -15,6 +15,7 @@ import os
 import shutil
 from typing import Any, Dict, List, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 __all__ = [
@@ -64,7 +65,14 @@ def save_checkpoint(
     ckpt_name = f"{name}-{step}"
     path = os.path.abspath(os.path.join(model_dir, ckpt_name))
     ckptr = ocp.PyTreeCheckpointer()
+    # Multi-process: orbax `save` is COLLECTIVE (internal
+    # sync_global_devices barriers; primary host writes, the rest
+    # participate) — EVERY process must call it, over shared storage, or
+    # the barrier names desync and training crashes. Only the
+    # manifest/pruning below is primary-only.
     ckptr.save(path, dict(state, step=step), force=True)
+    if jax.process_index() != 0:
+        return path
 
     m = _read_manifest(model_dir)
     m["all_ckpts"] = [c for c in m.get("all_ckpts", []) if c != ckpt_name]

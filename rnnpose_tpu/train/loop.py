@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ..models.rnnpose import RNNPose, RNNPoseInputs
 from ..parallel import mesh as mesh_lib
+from . import optim as optim_lib
 from .optim import OptimizerConfig, build_optimizer
 
 __all__ = ["TrainState", "make_train_step", "Trainer"]
@@ -48,13 +49,18 @@ def make_train_step(
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        grad_norm = optax.global_norm(grads)
+        grad_norm = optim_lib.safe_global_norm(grads)
         # Skip the update entirely when the step produced non-finite
         # gradients (degenerate sample, overflow in a long norm chain):
         # clip_by_global_norm would otherwise turn every parameter NaN in
         # one step. The reference has no such guard — torch propagates the
         # NaN — but "skip and report" is the TPU-native failure-detection
         # analog of its skip-degenerate-sample data path (SURVEY §5.3).
+        # The norm is the overflow-safe one: huge-but-FINITE gradients are
+        # the clip's job (rescale into the trust region), not the guard's —
+        # plain optax.global_norm overflows f32 at |g|~1e19 and would
+        # classify those steps as non-finite, silently freezing training on
+        # hard batches (found by tests/test_resume_equivalence.py).
         finite = jnp.isfinite(grad_norm)
         safe_grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads

@@ -33,7 +33,50 @@ __all__ = [
     "manual_stepping_schedule",
     "build_optimizer",
     "freeze_mask",
+    "safe_global_norm",
+    "safe_clip_by_global_norm",
 ]
+
+
+def safe_global_norm(tree) -> jnp.ndarray:
+    """Overflow-safe L2 norm of a pytree.
+
+    `optax.global_norm` sums f32 squares, which overflows to inf for
+    legitimately-huge-but-finite gradients (|g| ≳ 1e19; seen at ~1e17 on
+    degenerate frames) — and an inf norm turns clip-by-global-norm into
+    all-NaN updates, or (with the skip guard) silently discards every such
+    step. Prescaling by the max|leaf| keeps the squares in range; the
+    prescale is exactly 1.0 for healthy magnitudes, so this is bit-identical
+    to `optax.global_norm` on normal steps.
+    """
+    leaves = [l for l in jax.tree.leaves(tree) if l.size]
+    if not leaves:
+        return jnp.zeros(())
+    gmax = jnp.max(
+        jnp.stack([jnp.max(jnp.abs(l.astype(jnp.float32))) for l in leaves])
+    )
+    scale = jnp.where(gmax > 1e4, gmax, 1.0)
+    ss = sum(jnp.sum(jnp.square(l.astype(jnp.float32) / scale)) for l in leaves)
+    return scale * jnp.sqrt(ss)
+
+
+def safe_clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
+    """`optax.clip_by_global_norm` on the overflow-safe norm: huge finite
+    gradients get rescaled into the trust region instead of becoming NaN.
+    Truly non-finite gradients still produce a non-finite norm (the train
+    loop's skip guard handles those)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = safe_global_norm(updates)
+        factor = jnp.where(norm > max_norm, max_norm / norm, 1.0)
+        return jax.tree.map(lambda g: g * factor, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,7 +194,7 @@ def build_optimizer(
         return base
 
     tx = optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
+        safe_clip_by_global_norm(cfg.grad_clip),
         scale_by_adam_scheduled(),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.inject_hyperparams(optax.scale)(

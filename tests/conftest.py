@@ -22,6 +22,12 @@ import jax  # noqa: E402
 # Tests must run on the local virtual-8-device CPU backend, so force it back.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the composed-CLI tests (resume equivalence,
+# e2e) build the same trainer executable several times per test; caching
+# turns repeat compiles (~minutes each on this 1-core box) into loads.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_rnnpose_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -121,6 +121,14 @@ def install_reference(monkeypatch=None):
 
         m = types.ModuleType("cv2")
         m.getAffineTransform = getAffineTransform
+        # Interpolation-flag constants read at import time by
+        # `data/linemod_dataset.py:60` (default-arg evaluation); values are
+        # cv2's published enum values.
+        m.INTER_NEAREST = 0
+        m.INTER_LINEAR = 1
+        m.INTER_CUBIC = 2
+        m.INTER_AREA = 3
+        m.INTER_LANCZOS4 = 4
         sys.modules["cv2"] = m
 
     for name in ("kornia", "apex", "apex.amp"):

@@ -74,6 +74,30 @@ def test_corr_lookup_shape(rng):
     assert out.shape == (2, 8, 8, 4 * 49)
 
 
+def test_corr_lookup_impls_agree(rng):
+    """'mulreduce' (default) and 'bandmm' are the same math, different
+    lowerings; assert allclose at fractional coords on two shapes."""
+    for B, H, W, C, r in ((1, 6, 6, 8, 2), (2, 8, 10, 16, 4)):
+        f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        pyr = corr.build_corr_pyramid(f1, f2, num_levels=3)
+        coords = jnp.asarray(
+            rng.rand(B, H, W, 2).astype(np.float32) * [W - 1, H - 1]
+        )
+        a = corr.corr_lookup(pyr, coords, radius=r, impl="mulreduce")
+        b = corr.corr_lookup(pyr, coords, radius=r, impl="bandmm")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_corr_lookup_rejects_unknown_impl(rng):
+    f1 = jnp.asarray(rng.randn(1, 4, 4, 8).astype(np.float32))
+    pyr = corr.build_corr_pyramid(f1, f1, num_levels=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        corr.corr_lookup(pyr, jnp.zeros((1, 4, 4, 2)), impl="typo")
+
+
 # ---------------------------------------------------------------- upsample
 def test_unfold3x3():
     x = jnp.arange(9.0).reshape(1, 3, 3, 1)

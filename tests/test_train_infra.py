@@ -190,6 +190,42 @@ def test_sequence_flow_loss_length1_is_gamma_free(rng):
     )
 
 
+def test_safe_global_norm_overflow_and_parity():
+    """`safe_global_norm` == optax.global_norm for normal magnitudes
+    (bit-identical: the prescale is exactly 1.0) and stays FINITE where the
+    f32 sum-of-squares overflows (|g|~1e17 gradients were being classified
+    non-finite and every such step silently skipped —
+    tests/test_resume_equivalence.py found it)."""
+    tree = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.ones((2, 2))}
+    np.testing.assert_array_equal(
+        np.asarray(optim_lib.safe_global_norm(tree)),
+        np.asarray(optax.global_norm(tree)),
+    )
+
+    huge = {"a": jnp.asarray([3e19, 4e19]), "b": jnp.zeros((2,))}
+    assert not np.isfinite(float(optax.global_norm(huge)))  # the failure
+    np.testing.assert_allclose(
+        float(optim_lib.safe_global_norm(huge)), 5e19, rtol=1e-6
+    )
+
+    # clip: identity below the threshold, exact rescale above it — including
+    # the overflow regime, where optax's clip would emit NaNs.
+    clip = optim_lib.safe_clip_by_global_norm(10.0)
+    small = {"a": jnp.asarray([3.0, 4.0])}
+    out, _ = clip.update(small, clip.init(small))
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(small["a"]))
+    out, _ = clip.update(huge, clip.init(huge))
+    np.testing.assert_allclose(
+        float(optim_lib.safe_global_norm(out)), 10.0, rtol=1e-5
+    )
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(out))
+
+    # truly non-finite gradients still yield a non-finite norm (the train
+    # loop's skip guard keys off this).
+    bad = {"a": jnp.asarray([jnp.inf, 1.0])}
+    assert not np.isfinite(float(optim_lib.safe_global_norm(bad)))
+
+
 def test_train_step_skips_nonfinite_update():
     """A step whose gradients are non-finite must leave params and opt_state
     untouched and flag skipped_nonfinite=1 (regression: one degenerate batch
