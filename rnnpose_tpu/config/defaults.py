@@ -165,6 +165,10 @@ def default_config() -> Dict[str, Any]:
                     "model_dir": "",
                     "class_names": [],
                     "init_pose_type": "POSECNN_LINEMOD",
+                    # {type: path} map of detector init-pose files (PoseCNN
+                    # pickle / PVNet npy — reference linemod_dataset.py:179-199)
+                    "init_pose_paths": None,
+                    "blender_to_bop_path": None,
                     "preprocess": dict(_PREPROCESS_KEYS),
                 },
             },

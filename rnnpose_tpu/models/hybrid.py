@@ -41,9 +41,12 @@ class HybridDescNet(nn.Module):
         )
         self.desc3d_net = KPFCNN(self.kp_cfg, name="desc3d")
 
-    def encode_2d(self, image: jnp.ndarray):
-        """(B,H,W,3) -> (scores (B,H,W,1), desc (B,H,W,D))."""
-        return self.desc2d_net(image)
+    def encode_2d(self, image: jnp.ndarray, compute_scores: bool = True):
+        """(B,H,W,3) -> (scores (B,H,W,1) | None, desc (B,H,W,D)).
+
+        `compute_scores=False` skips the (unconsumed) saliency head — 31%
+        of the model's eval FLOPs; see `SuperPoint2D.__call__`."""
+        return self.desc2d_net(image, compute_scores=compute_scores)
 
     def encode_3d(self, pyramid: PointPyramid) -> jnp.ndarray:
         """model-cloud pyramid -> (B, N, D) descriptors."""

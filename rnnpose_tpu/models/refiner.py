@@ -226,8 +226,13 @@ class _InnerStep(nn.Module):
                 warped = bilinear_sample(c["geofea2_lr"], coords_lr)
                 dot = jnp.sum(c["geofea1_lr"] * warped, axis=-1, keepdims=True)
                 w_lr = jnp.exp(-jnp.abs(1.0 - dot) / sigma)
-                b, hl, wl, _ = w_lr.shape
-                weight = jax.image.resize(w_lr, (b, S, S, 1), "bilinear")
+                # The full-res weight is only a diagnostic output and only
+                # its LAST iteration survives (RefinerOutputs.weight) — the
+                # scan emits the 1/8-grid weight and PoseRefiner upsamples
+                # once after the loop instead of 12x inside it.
+                # depth validity on the matching 1/8 grid.
+                d_lr = c["syn_depth"][:, 4::8, 4::8]
+                weight = w_lr * (d_lr > 0)[..., None].astype(w_lr.dtype)
             else:
                 # Reference quirk reproduced exactly: `normalize_coords_grid`
                 # maps pixels with the align_corners=True formula 2u/(S-1)-1
@@ -238,7 +243,9 @@ class _InnerStep(nn.Module):
                 warped = bilinear_sample(c["geofea2_crop"], tq)
                 dot = jnp.sum(c["geofea1"] * warped, axis=-1, keepdims=True)
                 weight = jnp.exp(-jnp.abs(1.0 - dot) / sigma)
-            weight = weight * (c["syn_depth"] > 0)[..., None].astype(weight.dtype)
+                weight = weight * (c["syn_depth"] > 0)[..., None].astype(
+                    weight.dtype
+                )
         else:
             weight = (c["syn_depth"] > 0)[..., None].astype(flow_up.dtype)
 
@@ -259,10 +266,17 @@ class _InnerStep(nn.Module):
                 cfg=cfg.lm_config,
             )
         else:
+            w_full = weight
+            if w_full.shape[1] != S:
+                # corr_weight_res='eighth' + lm_res='full': the LM needs the
+                # weight on the full grid (the pre-r4 in-scan upsample).
+                w_full = jax.image.resize(
+                    w_full, (w_full.shape[0], S, S, 1), "bilinear"
+                ) * (c["syn_depth"] > 0)[..., None].astype(w_full.dtype)
             Tij = lm_lib.reprojection_optim(
                 Tij,
                 target,
-                jnp.broadcast_to(weight, target.shape),
+                jnp.broadcast_to(w_full, target.shape),
                 jax.lax.stop_gradient(c["syn_depth"]) + EPS,
                 jax.lax.stop_gradient(c["K_crop"]),
                 num_iters=cfg.optim_iters,
@@ -558,6 +572,13 @@ class PoseRefiner(nn.Module):
         Ti = pmatmul(Tij, Ti)
 
         cat = lambda key: jnp.concatenate([h[key] for h in all_hist], axis=0)
+        last_weight = all_hist[-1]["weight"][-1]
+        if last_weight.shape[1] != S:
+            # eighth-res similarity: one diagnostic upsample after the loop
+            # (the scan emits 1/8-grid weights; see _InnerStep).
+            last_weight = jax.image.resize(
+                last_weight, (last_weight.shape[0], S, S, 1), "bilinear"
+            ) * (syn_depth > 0)[..., None].astype(last_weight.dtype)
         return RefinerOutputs(
             Ti_pred=Ti,
             Tij=Tij,
@@ -567,7 +588,7 @@ class PoseRefiner(nn.Module):
             Tij_gt_history=cat("Tij_gt"),
             intrinsics_history=cat("K_crop"),
             syn_depth_history=jnp.stack(syn_depths, axis=0),
-            weight=all_hist[-1]["weight"][-1],
+            weight=last_weight,
             syn_img=syn_img,
             image_crop=image_crop,
             valid_mask=(syn_depth > 0).astype(image.dtype),

@@ -83,8 +83,20 @@ class SuperPoint2D(nn.Module):
                                    # same policy as the refiner encoder/GRU
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """image: (B, H, W, 3) -> (scores (B, H, W, 1), desc (B, H, W, D))."""
+    def __call__(
+        self, image: jnp.ndarray, compute_scores: bool = True
+    ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+        """image: (B, H, W, 3) -> (scores (B, H, W, 1) | None, desc (B, H, W, D)).
+
+        `compute_scores=False` skips the saliency head (convPa/convPb) and
+        returns scores=None. The head is a full-resolution 256-channel conv
+        — 62 of this net's 201 GFLOP/frame at 320^2 (31% of the WHOLE
+        model's eval FLOPs) — and its output is consumed by nothing: the
+        reference wires it into its contrastive loss as
+        `scores_saliency=None` (`model/RNNPose.py:271-276`), a vestige of
+        the OverlapPredator-style API. Params are still created at init so
+        checkpoint conversion/roundtrip is unaffected.
+        """
         dt = jnp.bfloat16 if self.mixed_precision else None
         x = image
         if self.input_dim == 1:
@@ -109,18 +121,22 @@ class SuperPoint2D(nn.Module):
         x = nn.relu(InstanceNorm()(_ConcatConv(c4, dtype=dt, name="decode3")(
             _upsample2x(x), _upsample2x(skips[1]))))
 
-        # Saliency head.
-        pa = nn.relu(InstanceNorm()(nn.Conv(c5, (3, 3), dtype=dt, name="convPa")(x)))
-        scores = nn.Conv(1, (1, 1), dtype=dt, name="convPb")(pa).astype(
-            jnp.float32
-        )
-        if self.score_normalization == "sigmoid":
-            scores = nn.sigmoid(scores)
-        elif self.score_normalization == "softmax":
-            b, h, w, _ = scores.shape
-            scores = jax.nn.softmax(scores.reshape(b, -1), axis=-1).reshape(b, h, w, 1)
-        else:
-            raise ValueError(self.score_normalization)
+        # Saliency head (skippable; params always exist for conversion).
+        scores = None
+        if compute_scores or self.is_initializing():
+            pa = nn.relu(InstanceNorm()(nn.Conv(c5, (3, 3), dtype=dt, name="convPa")(x)))
+            scores = nn.Conv(1, (1, 1), dtype=dt, name="convPb")(pa).astype(
+                jnp.float32
+            )
+            if self.score_normalization == "sigmoid":
+                scores = nn.sigmoid(scores)
+            elif self.score_normalization == "softmax":
+                b, h, w, _ = scores.shape
+                scores = jax.nn.softmax(scores.reshape(b, -1), axis=-1).reshape(b, h, w, 1)
+            else:
+                raise ValueError(self.score_normalization)
+            if not compute_scores:
+                scores = None
 
         # Descriptor head; the L2 normalization below runs in f32.
         da = nn.relu(nn.Conv(c5, (3, 3), dtype=dt, name="convDa")(x))

@@ -17,6 +17,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--scan", type=int, default=0,
+                   help="N>0: time each sub-op amortized over an N-long "
+                   "lax.scan chain (true in-scan per-iter cost; the "
+                   "standalone numbers are relay-floor-dominated)")
     p.add_argument(
         "--platform", type=str, default=None,
         help="force a jax platform (e.g. cpu). Must be applied via "
@@ -109,17 +113,82 @@ def main(argv=None):
     from .profile_components import timeit
 
     print(f"B={B}, crop {S}^2 -> coarse {s8}^2, bf16")
-    timeit(build, fmap1, fmap2, iters=args.iters, name="corr pyramid build (1x/render)")
-    timeit(lookup, coords, iters=args.iters, name="corr lookup r=4 mulreduce")
-    timeit(lookup_mm, coords, iters=args.iters, name="corr lookup r=4 bandmm")
-    timeit(jax.jit(upd_all), pb, h0, corr_feats, iters=args.iters, vary=1,
-           name="update block +mask head")
-    timeit(jax.jit(upd_nomask), pb, h0, corr_feats, iters=args.iters, vary=1,
-           name="update block (mask DCE'd)")
-    timeit(jax.jit(lm), T0, coords, iters=args.iters, vary=1,
-           name="LM 1-step @ 30^2")
-    timeit(jax.jit(simw), coords, iters=args.iters, name="sim weight + resize")
-    timeit(jax.jit(simw_lr_only), coords, iters=args.iters, name="sim weight lr-only")
+    if args.scan == 0:
+        timeit(build, fmap1, fmap2, iters=args.iters, name="corr pyramid build (1x/render)")
+        timeit(lookup, coords, iters=args.iters, name="corr lookup r=4 mulreduce")
+        timeit(lookup_mm, coords, iters=args.iters, name="corr lookup r=4 bandmm")
+        timeit(jax.jit(upd_all), pb, h0, corr_feats, iters=args.iters, vary=1,
+               name="update block +mask head")
+        timeit(jax.jit(upd_nomask), pb, h0, corr_feats, iters=args.iters, vary=1,
+               name="update block (mask DCE'd)")
+        timeit(jax.jit(lm), T0, coords, iters=args.iters, vary=1,
+               name="LM 1-step @ 30^2")
+        timeit(jax.jit(simw), coords, iters=args.iters, name="sim weight + resize")
+        timeit(jax.jit(simw_lr_only), coords, iters=args.iters, name="sim weight lr-only")
+        return
+
+    # --scan N mode: standalone per-call numbers above share a ~2.5 ms
+    # relay dispatch floor larger than the work itself, so they CANNOT
+    # attribute the in-scan cost (BENCHLOG r4 item 1). Here each sub-op is
+    # chained N times inside ONE `lax.scan` program (output feeds the next
+    # iteration, so nothing is DCE'd or pipelined away) and the per-iter
+    # cost is (T_scan - T_floor) / N — the same amortized form the real
+    # refiner scan runs in.
+    N = args.scan
+    f32 = jnp.float32
+
+    def scan_time(f, init, name):
+        def body(c, _):
+            return f(c), ()
+
+        g = jax.jit(lambda c: jax.lax.scan(body, c, None, length=N)[0])
+        floor = jax.jit(lambda c: c)
+        r = timeit(g, init, iters=args.iters, name=f"[scan x{N}] {name}")
+        r0 = timeit(floor, init, iters=args.iters, name=f"[floor]    {name}")
+        per = (r - r0) / N  # timeit returns ms
+        print(f"  -> {name}: {per:.3f} ms/iter")
+        return per
+
+    tiny = 1e-6
+    total = 0.0
+    total += scan_time(
+        lambda c: c + tiny * jnp.mean(
+            corr_ops.corr_lookup(pyr, c, 4, "mulreduce").astype(f32)
+        ),
+        coords, "corr lookup r=4 mulreduce")
+    scan_time(
+        lambda c: c + tiny * jnp.mean(
+            corr_ops.corr_lookup(pyr, c, 4, "bandmm").astype(f32)
+        ),
+        coords, "corr lookup r=4 bandmm")
+
+    def upd_step(h_):
+        h2, _, d = blk.apply(pb, h_, inp, corr_feats, flow)
+        return h2 + tiny * jnp.mean(d).astype(h2.dtype)
+
+    total += scan_time(upd_step, h0, "update block (mask DCE'd)")
+    scan_time(lambda h_: blk.apply(pb, h_, inp, corr_feats, flow)[0]
+              + tiny * jnp.mean(blk.apply(pb, h_, inp, corr_feats, flow)[1]).astype(h_.dtype),
+              h0, "update block +mask head")
+    total += scan_time(lambda t_: lm(t_, coords), T0, "LM 1-step @ 30^2")
+    total += scan_time(
+        lambda c: c + tiny * simw_lr_only(c), coords, "sim weight lr-only")
+    scan_time(
+        lambda c: c + tiny * jnp.mean(simw(c)), coords, "sim weight + resize")
+
+    def full_step(carry):
+        c_, h_, t_ = carry
+        cf = corr_ops.corr_lookup(pyr, c_, 4, "mulreduce")
+        h2, _, d = blk.apply(pb, h_, inp, cf, flow)
+        c2 = c_ + d.astype(f32)
+        w = simw_lr_only(c2)
+        t2 = lm_lib.reprojection_optim(
+            t_, c2, jnp.broadcast_to(w, c2.shape), depth_lr, K_lr, 1
+        )
+        return c2, h2, t2
+
+    full = scan_time(full_step, (coords, h0, T0), "FULL inner step (composed)")
+    print(f"sum of parts {total:.3f} ms vs composed {full:.3f} ms")
 
 
 if __name__ == "__main__":
