@@ -69,6 +69,20 @@ def test_superpoint_shapes(rng):
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+def test_superpoint_skip_saliency_head(rng):
+    """compute_scores=False skips the (unconsumed) saliency head: scores is
+    None, the descriptors are BIT-identical to the full path, and the
+    convPa/convPb params still exist for checkpoint conversion."""
+    m = superpoint.SuperPoint2D(descriptor_dim=32)
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert "convPa" in params["params"] and "convPb" in params["params"]
+    _, desc_full = m.apply(params, x)
+    scores, desc = m.apply(params, x, compute_scores=False)
+    assert scores is None
+    np.testing.assert_array_equal(np.asarray(desc), np.asarray(desc_full))
+
+
 # ------------------------------------------------------------ pyramid (host)
 def test_grid_subsample_reduces_and_covers(rng):
     pts = rng.rand(2000, 3).astype(np.float32)
