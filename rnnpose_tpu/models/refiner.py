@@ -102,6 +102,14 @@ class RefinerConfig:
                                    # ('mulreduce' | 'bandmm'); on-chip
                                    # ablation at shipping shapes (B=8):
                                    # 2.67 vs 5.11 ms standalone (BENCHLOG r4)
+    scan_unroll: int = 1           # unroll factor for the inner nn.scan.
+                                   # MEASURED NO-GO at 4 (BENCHLOG r4 #5):
+                                   # B=8 152.0 vs 150.1 fps (noise), B=1
+                                   # REGRESSED 100.4 -> 88.0, GFLOP/frame
+                                   # +20% (XLA re-materializes across the
+                                   # unrolled bodies), TPU compile ~5x
+                                   # slower. Kept as a knob for future
+                                   # shapes; 1 = true lax.scan.
     lm_res: str = "eighth"         # LM residual grid: 'eighth' (default,
                                    # TPU-first: normal equations accumulated
                                    # on the 1/8 grid the flow actually lives
@@ -350,6 +358,10 @@ class PoseRefiner(nn.Module):
             split_rngs={"params": False},
             in_axes=nn.broadcast,   # loop-invariants are NOT carried/copied
             length=cfg.gru_iters,
+            # See RefinerConfig.scan_unroll: unrolling was measured and
+            # rejected (BENCHLOG r4 item 5) — the 0.86-vs-0.46 ms/iter
+            # composed-vs-parts gap is genuine dataflow, not scan overhead.
+            unroll=cfg.scan_unroll,
         )(cfg, name="inner")
 
         for ren_iter in range(cfg.render_iters):
