@@ -253,6 +253,7 @@ def apply_parity_preset(model_cfg: RNNPoseConfig) -> RNNPoseConfig:
 
     return dataclasses.replace(
         model_cfg,
+        desc2d_eval_tail_res="full",
         refiner=dataclasses.replace(
             model_cfg.refiner,
             lm_res="full",

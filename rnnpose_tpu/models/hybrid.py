@@ -41,12 +41,20 @@ class HybridDescNet(nn.Module):
         )
         self.desc3d_net = KPFCNN(self.kp_cfg, name="desc3d")
 
-    def encode_2d(self, image: jnp.ndarray, compute_scores: bool = True):
+    def encode_2d(
+        self,
+        image: jnp.ndarray,
+        compute_scores: bool = True,
+        tail_res: Optional[str] = None,
+    ):
         """(B,H,W,3) -> (scores (B,H,W,1) | None, desc (B,H,W,D)).
 
-        `compute_scores=False` skips the (unconsumed) saliency head — 31%
-        of the model's eval FLOPs; see `SuperPoint2D.__call__`."""
-        return self.desc2d_net(image, compute_scores=compute_scores)
+        `compute_scores=False` skips the (unconsumed) saliency head;
+        `tail_res='half'` returns the descriptor field at H/2 x W/2 (see
+        `SuperPoint2D.__call__` for both)."""
+        return self.desc2d_net(
+            image, compute_scores=compute_scores, tail_res=tail_res
+        )
 
     def encode_3d(self, pyramid: PointPyramid) -> jnp.ndarray:
         """model-cloud pyramid -> (B, N, D) descriptors."""

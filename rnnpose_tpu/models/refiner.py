@@ -316,6 +316,9 @@ class PoseRefiner(nn.Module):
         geofea_2d: Optional[jnp.ndarray],  # (B, H, W, C_geo) 2D descriptors
         T_gt: Optional[jnp.ndarray] = None,  # (B, 4, 4) GT pose (for loss)
         emit_full_flow: Optional[bool] = None,  # static; default cfg value
+        geofea_2d_scale: int = 1,    # geofea_2d is at 1/scale of `image`'s
+                                     # resolution (SuperPoint half-res tail);
+                                     # crop sampling scales accordingly
     ) -> RefinerOutputs:
         cfg = self.cfg
         if emit_full_flow is not None and emit_full_flow != cfg.emit_full_flow:
@@ -543,18 +546,24 @@ class PoseRefiner(nn.Module):
                 "syn_depth": syn_depth,
                 "K_crop": K_crop,
             }
+            # geofea_2d may live at 1/scale of the image resolution (the
+            # SuperPoint half-res tail). With grid_sample's align_corners=
+            # False convention, u_lowres = (u_full + 0.5)/scale - 0.5, and
+            # separable_crop_sample applies its own -0.5 AFTER the window
+            # map — so dividing the crop params by `scale` is EXACT.
+            cp_geo = crop_params / float(geofea_2d_scale)
             if use_geo and eighth:
                 # Descriptor similarity evaluated on the 1/8 grid: the 2D
                 # descriptor crop is sampled directly at the coarse grid and
                 # the rendered 3D descriptors interpolated there.
                 inv["geofea2_lr"] = separable_crop_sample(
-                    geofea_2d, crop_params, s8
+                    geofea_2d, cp_geo, s8
                 )
                 inv["geofea1_lr"] = geofea1_lr
             elif use_geo:
                 inv["geofea1"] = geofea1
                 inv["geofea2_crop"] = separable_crop_sample(
-                    geofea_2d, crop_params, S
+                    geofea_2d, cp_geo, S
                 )
             elif cfg.with_corr_weight:
                 raise ValueError(

@@ -63,6 +63,21 @@ class RNNPoseConfig:
     refiner: RefinerConfig = RefinerConfig()
     circle: loss_lib.CircleLossConfig = loss_lib.CircleLossConfig()
     motion: loss_lib.RefinerLossConfig = loss_lib.RefinerLossConfig()
+    desc2d_eval_tail_res: str = "half"  # eval 2D-descriptor tail: 'half'
+                                   # (default, TPU-first serving preset:
+                                   # decode3 + the descriptor head at 1/2
+                                   # res with the SAME params — the tail is
+                                   # ~49% of eval FLOPs, the field is only
+                                   # sampled at the refiner's 1/8-grid
+                                   # crops, and the A/B on the trained
+                                   # sustained-run checkpoint was
+                                   # metric-identical, BENCHLOG r4 #6) or
+                                   # 'full' (reference-exact; restored by
+                                   # apply_parity_preset / --parity).
+                                   # Training ALWAYS runs the full-res
+                                   # tail — the circle loss indexes
+                                   # descriptors at integer full-res
+                                   # pixels.
 
 
 class CorrespondenceSet(NamedTuple):
@@ -126,10 +141,13 @@ class RNNPose(nn.Module):
     ) -> Dict[str, Any]:
         # The saliency scores feed nothing (the reference passes
         # scores_saliency=None into its loss, RNNPose.py:271-276); skipping
-        # the head at eval removes 31% of the forward's FLOPs.
+        # the head at eval removes 31% of the forward's FLOPs. The eval
+        # descriptor tail optionally runs at 1/2 res (desc2d_eval_tail_res).
+        tail = "full" if train else self.cfg.desc2d_eval_tail_res
         scores2d, desc2d = self.hybrid_desc_net.encode_2d(
-            inputs.image, compute_scores=train
+            inputs.image, compute_scores=train, tail_res=tail
         )
+        desc2d_scale = inputs.image.shape[1] // desc2d.shape[1]
         desc3d = (
             cached_desc3d
             if cached_desc3d is not None
@@ -160,6 +178,7 @@ class RNNPose(nn.Module):
             geofea_2d=desc2d,
             T_gt=inputs.T_gt,
             emit_full_flow=emit_full_flow,
+            geofea_2d_scale=desc2d_scale,
         )
 
         ret: Dict[str, Any] = {

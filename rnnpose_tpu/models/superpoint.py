@@ -81,10 +81,28 @@ class SuperPoint2D(nn.Module):
     normalize_output: bool = True
     mixed_precision: bool = True   # bf16 conv compute, f32 params/heads —
                                    # same policy as the refiner encoder/GRU
+    desc_tail_res: str = "full"    # 'full': reference-exact (decode3 + the
+                                   # heads run at input resolution).
+                                   # 'half': decode3 convolves the
+                                   # NON-upsampled 1/2-res features (same
+                                   # params — conv commutes with the layout,
+                                   # not the values) and the heads run at
+                                   # 1/2 res; the descriptor field comes
+                                   # back at H/2 x W/2. The tail
+                                   # (decode3+convDa/Db) is 107 of the
+                                   # net's 201 GFLOP/frame at 320^2, and
+                                   # eval samples the field at only ~2.7k
+                                   # of 102k pixels (refiner 1/8-grid
+                                   # crops) — metric impact A/B'd on the
+                                   # trained sustained-run checkpoint
+                                   # (BENCHLOG r4).
 
     @nn.compact
     def __call__(
-        self, image: jnp.ndarray, compute_scores: bool = True
+        self,
+        image: jnp.ndarray,
+        compute_scores: bool = True,
+        tail_res: Optional[str] = None,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
         """image: (B, H, W, 3) -> (scores (B, H, W, 1) | None, desc (B, H, W, D)).
 
@@ -118,8 +136,17 @@ class SuperPoint2D(nn.Module):
         # convs the two halves separately (`_ConcatConv`).
         x = nn.relu(InstanceNorm()(_ConcatConv(c4, dtype=dt, name="decode2")(
             _upsample2x(x), _upsample2x(skips[2]))))
-        x = nn.relu(InstanceNorm()(_ConcatConv(c4, dtype=dt, name="decode3")(
-            _upsample2x(x), _upsample2x(skips[1]))))
+        tail = tail_res or self.desc_tail_res
+        if tail == "half":
+            # Same decode3 params applied at 1/2 res on the un-upsampled
+            # inputs; the heads then see an H/2 x W/2 field.
+            x = nn.relu(InstanceNorm()(_ConcatConv(c4, dtype=dt, name="decode3")(
+                x, skips[1])))
+        elif tail == "full":
+            x = nn.relu(InstanceNorm()(_ConcatConv(c4, dtype=dt, name="decode3")(
+                _upsample2x(x), _upsample2x(skips[1]))))
+        else:
+            raise ValueError(tail)
 
         # Saliency head (skippable; params always exist for conversion).
         scores = None

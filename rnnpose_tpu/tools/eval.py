@@ -50,6 +50,14 @@ def parse_args(argv=None):
                         "metrics (add_auc/adds_auc, BASELINE config #4) and "
                         "the YCB symmetric set; 'auto' picks ycb for "
                         "BOP-YCB class names")
+    p.add_argument("--desc_tail_res", choices=("full", "half"),
+                   default=None,
+                   help="override the eval 2D-descriptor tail resolution "
+                        "(default: the serving preset 'half'; --parity "
+                        "restores 'full'). 'half' runs decode3 + the "
+                        "descriptor head at 1/2 res with the same params — "
+                        "~49%% of eval FLOPs — A/B'd metric-identical on "
+                        "the trained sustained-run ckpt (BENCHLOG r4 #6).")
     p.add_argument("--parity", action="store_true",
                    help="reference-exact operating mode: full-res LM "
                         "residuals + similarity weighting, f32 everywhere "
@@ -381,6 +389,12 @@ def main(argv=None):
         from ..config.defaults import apply_parity_preset
 
         model_cfg = apply_parity_preset(model_cfg)
+    if args.desc_tail_res is not None:
+        import dataclasses as _dc
+
+        model_cfg = _dc.replace(
+            model_cfg, desc2d_eval_tail_res=args.desc_tail_res
+        )
 
     model = RNNPose(model_cfg)
 

@@ -269,6 +269,8 @@ def _flax_model():
     return RNNPose(RNNPoseConfig(
         desc_kp=_kp_cfg(32, True),
         ctx_kp=_kp_cfg(256, False),
+        desc2d_eval_tail_res="full",   # reference-exact A/B (the serving
+                                       # default is the A/B'd 'half' tail)
         refiner=RefinerConfig(
             render_iters=2, gru_iters=2, optim_iters=1, zoom_crop_size=S,
             mixed_precision=False, corr_weight_res="full", lm_res="full",

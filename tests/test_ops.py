@@ -242,3 +242,25 @@ def test_max_pool_and_closest_pool(rng):
     np.testing.assert_allclose(mp, [[3.0, 0.5], [0.0, 7.0]])
     cp = kpconv_ops.closest_pool(feats, inds)
     np.testing.assert_allclose(cp, [[1.0, -2.0], [0.0, 7.0]])
+
+
+def test_scaled_crop_params_sample_halfres_field(rng):
+    """Sampling a half-res field with crop_params/2 hits EXACTLY the same
+    source locations as sampling a full-res field with crop_params: with
+    align_corners=False, u_half = (u_full + 0.5)/2 - 0.5, which the window
+    map absorbs as a pure params/2 rescale (refiner geofea_2d_scale path)."""
+    import jax.numpy as jnp
+
+    from rnnpose_tpu.geometry.crop import crop_source_coords
+    from rnnpose_tpu.ops.sampler import bilinear_sample, separable_crop_sample
+
+    im_half = jnp.asarray(rng.rand(2, 24, 24, 3).astype(np.float32))
+    cp = jnp.asarray(
+        [[20.0, 26.0, 9.0, 9.0], [25.5, 22.25, 7.5, 7.5]], jnp.float32
+    )  # full-res-units crop windows (48x48 source image)
+    S = 16
+    got = separable_crop_sample(im_half, cp / 2.0, S)
+    coords_full = crop_source_coords(cp, S)            # full-res coords
+    coords_half = (coords_full + 0.5) / 2.0 - 0.5      # -> half-res coords
+    want = bilinear_sample(im_half, coords_half)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
