@@ -105,6 +105,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--trace", type=str, default=None)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--batch", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -123,7 +124,7 @@ def main(argv=None):
 
     syn = SyntheticConfig(
         image_size=320, num_verts=2048, num_faces=4096, subdivisions=4,
-        kp_layers=4, kp_dl=0.006,
+        kp_layers=4, kp_dl=0.006, batch_size=args.batch,
     )
     inputs, kp_cfg = make_synthetic_inputs(syn)
     cfg = RNNPoseConfig(
@@ -142,7 +143,10 @@ def main(argv=None):
     K_crop = inputs.intrinsics
 
     # --- components ---
-    verts_cam = jnp.asarray(inputs.mesh.verts)[None] + jnp.asarray([[0.0, 0.0, 0.6]])
+    verts_cam = jnp.broadcast_to(
+        jnp.asarray(inputs.mesh.verts)[None] + jnp.asarray([[0.0, 0.0, 0.6]]),
+        (args.batch,) + inputs.mesh.verts.shape,
+    )
     raster = jax.jit(
         lambda v: rasterize(v, mesh.faces, K_crop, S, S, mesh.face_valid, 128).zbuf
     )
@@ -153,28 +157,29 @@ def main(argv=None):
     timeit(splat, verts_cam, iters=args.iters, name="splat_depth 2048v @ 320^2")
 
     enc = ImageFeaEncoder()
-    img = jnp.zeros((1, S, S, 3))
+    img = jnp.zeros((args.batch, S, S, 3))
     pe = enc.init(jax.random.PRNGKey(0), img, img)
     encf = jax.jit(lambda p, a, b: enc.apply(p, a, b))
     timeit(encf, pe, img, img, iters=args.iters, name=f"image encoder x2 @ {S}^2")
 
     f8 = S // 8
-    fmap = jnp.zeros((1, f8, f8, 256))
+    fmap = jnp.zeros((args.batch, f8, f8, 256))
     corr_build = jax.jit(lambda a, b: corr_ops.build_corr_pyramid(a, b).levels[0])
     timeit(corr_build, fmap, fmap, iters=args.iters, name=f"corr pyramid build @ {f8}^2")
 
     pyr = corr_ops.build_corr_pyramid(fmap, fmap)
-    coords = jnp.zeros((1, f8, f8, 2))
+    coords = jnp.zeros((args.batch, f8, f8, 2))
     lookup = jax.jit(lambda c: corr_ops.corr_lookup(pyr, c, 4))
     timeit(lookup, coords, iters=args.iters, name="corr lookup r=4")
 
-    depth = jnp.ones((1, S, S)) * 0.6
-    target = jnp.zeros((1, S, S, 2))
-    weight = jnp.ones((1, S, S, 2))
+    depth = jnp.ones((args.batch, S, S)) * 0.6
+    target = jnp.zeros((args.batch, S, S, 2))
+    weight = jnp.ones((args.batch, S, S, 2))
     lmf = jax.jit(
         lambda T: lm_lib.reprojection_optim(T, target, weight, depth, K_crop, 1)
     )
-    timeit(lmf, jnp.eye(4)[None], iters=args.iters, name=f"LM step @ {S}^2")
+    timeit(lmf, jnp.broadcast_to(jnp.eye(4), (args.batch, 4, 4)),
+           iters=args.iters, name=f"LM step @ {S}^2")
 
     # --- full paths ---
     desc3d, ctx3d = jax.jit(
