@@ -313,7 +313,9 @@ class LinemodSynRealDataset(Dataset):
             self.seed * 0x9E3779B97F4A7C15 + position * 0xBF58476D1CE4E5B9
         ) & 0xFFFFFFFFFFFFFFFF  # wrap in python ints (np.uint64 would raise)
         mix ^= mix >> 31
-        rs = np.random.RandomState(mix % (2**32 - 1))
+        # RandomState accepts seeds in [0, 2**32 - 1]; modulus 2**32 uses
+        # the full range (a 2**32-1 modulus would alias 0 and 2**32-1).
+        rs = np.random.RandomState(mix % (2**32))
         return self.sample(idx, rs)
 
     def sample(self, idx: int, rs: np.random.RandomState) -> Dict[str, Any]:

@@ -250,9 +250,26 @@ class EvalRunner:
         {cls: poses} if collect_poses else None)."""
         import time
 
+        import jax
         import numpy as np
 
         from ..parallel.collectives import weighted_reduce_metrics
+
+        if jax.process_count() > 1:
+            # Multihost eval is process-LOCAL compute + a final allgather:
+            # frames differ per host (process-strided), so inputs cannot
+            # form global-mesh arrays — but trainer params arrive committed
+            # to the GLOBAL mesh, and jax.jit rejects arguments committed
+            # to different device sets. Re-place a replicated copy of the
+            # params on this host's local devices once per run; params are
+            # fully replicated, so device_get is process-local and cheap.
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            local_mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+            params = jax.device_put(
+                jax.device_get(params),
+                NamedSharding(local_mesh, PartitionSpec()),
+            )
 
         cache, evaluators, poses_out = {}, {}, {}
         t_total, n_frames = 0.0, 0
@@ -397,6 +414,16 @@ def main(argv=None):
         )
 
     model = RNNPose(model_cfg)
+    # Self-describing operating mode: non-parity runs use the serving
+    # presets (half-res descriptor tail, bf16, 1/8-grid LM), so every eval
+    # states what it ran before printing metrics.
+    print(
+        "eval operating mode: "
+        f"desc_tail_res={model_cfg.desc2d_eval_tail_res} "
+        f"parity={'on' if args.parity else 'off'} "
+        f"render_iters={model_cfg.refiner.render_iters} "
+        f"gru_iters={model_cfg.refiner.gru_iters}"
+    )
 
     frames = iter(frames)
     first = next(frames, None)

@@ -197,8 +197,17 @@ def main(argv=None):
             # batch stream is then a pure function of (seed, position) —
             # thread-safe, loader-thread-count invariant, and bit-identical
             # across --resume (tests/test_resume_equivalence.py).
+            # Positions interleave the process index so multi-host shards
+            # draw DISJOINT augmentation streams (same-seed hosts would
+            # otherwise reuse identical blur/jitter draws within a global
+            # batch); nproc=1 leaves positions unchanged.
+            nproc = jax.process_count()
+            pid = jax.process_index()
             start = (last_iter + 1) * bs
-            indexed = ((start + k, idx) for k, idx in enumerate(sampler))
+            indexed = (
+                ((start + k) * nproc + pid, idx)
+                for k, idx in enumerate(sampler)
+            )
 
             def fetch(pos_idx):
                 pos, idx = pos_idx
@@ -295,6 +304,20 @@ def main(argv=None):
     total = cfg["train_config"]["steps"]
     steps_per_eval = cfg["train_config"]["steps_per_eval"]
     bs = first.image.shape[0]
+    n_dev = mesh.devices.size
+    if n_dev > 1 and (bs * jax.process_count()) % n_dev != 0:
+        # Batch-size-vs-device-count contract (parallel/mesh.shard_batch):
+        # a global batch that does not divide the mesh is REPLICATED, i.e.
+        # every device computes the same samples — correct but not data
+        # parallel. The reference's bs=1-per-replica schedule maps to
+        # batch_size = device count here (one sample per chip).
+        log.log_text(
+            f"WARNING: global batch {bs * jax.process_count()} does not "
+            f"divide the {n_dev}-device mesh; batches will be REPLICATED "
+            "(no data-parallel speedup). Set train_input_reader.batch_size "
+            "to a multiple of the device count for sharded training.",
+            step,
+        )
 
     if args.cost_analysis:
         # Compiled-executable roofline facts for the TRAIN step (fwd + bwd +
