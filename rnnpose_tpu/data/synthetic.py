@@ -86,6 +86,23 @@ def make_icosphere(subdivisions: int = 3, radius: float = 1.0) -> mesh_lib.TriMe
     return mesh_lib.TriMesh(verts, f.astype(np.int32), colors)
 
 
+def make_capsule(
+    subdivisions: int = 3, radius: float = 1.0, cap_sep: float = 3.0
+) -> mesh_lib.TriMesh:
+    """Elongated capsule: an icosphere with its hemispheres pulled apart by
+    `cap_sep * radius` along z (total length (2 + cap_sep) * r vs width 2r —
+    2.5:1 at the default). A deliberately NON-spherical fixture geometry:
+    off-center crops, anisotropic projected extent, and strongly
+    view-dependent visibility — the stress shape for serving-preset A/Bs
+    that were only validated on the icosphere (half-res descriptor tail)."""
+    m = make_icosphere(subdivisions, radius)
+    verts = m.verts.copy()
+    shift = np.where(verts[:, 2] >= 0.0, 1.0, -1.0) * (cap_sep * radius / 2.0)
+    verts[:, 2] += shift.astype(np.float32)
+    colors = (0.5 + 0.5 * np.sin(verts * 40.0)).astype(np.float32)
+    return mesh_lib.TriMesh(verts, m.faces, colors)
+
+
 def make_synthetic_inputs(
     cfg: SyntheticConfig = SyntheticConfig(),
     with_corr: bool = True,

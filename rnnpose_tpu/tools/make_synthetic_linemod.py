@@ -47,6 +47,19 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=8, help="render batch")
     p.add_argument("--steps", type=int, default=20000,
                    help="steps written into the emitted config")
+    p.add_argument("--occ", action="store_true",
+                   help="also emit the Occlusion-LINEMOD eval variant: "
+                   "PVNet-occ init poses in the BLENDER frame + a "
+                   "blender2bop_RT conversion table + a "
+                   "`{cls}_test_occ.info` + an eval config with "
+                   "init_pose_type PVNET_LINEMOD_OCC (reference "
+                   "`template_fw0.5_occ.yml:162-164`, "
+                   "`data/linemod_dataset.py:346-352`)")
+    p.add_argument("--shape", type=str, default="icosphere",
+                   choices=["icosphere", "capsule"],
+                   help="object geometry: 'icosphere' (default) or "
+                   "'capsule' — an elongated 2.5:1 shape that stresses "
+                   "off-center crops and anisotropic descriptor sampling")
     return p.parse_args(argv)
 
 
@@ -60,7 +73,7 @@ def main(argv=None):
     from scipy.spatial.transform import Rotation
 
     from ..data.poses import sample_noisy_poses
-    from ..data.synthetic import make_icosphere
+    from ..data.synthetic import make_capsule, make_icosphere
     from ..render import mesh as mesh_lib
     from ..render.raster import rasterize_with_vis_attrs
     from ..render.shading import compute_vertex_normals, headlight_shade
@@ -77,9 +90,14 @@ def main(argv=None):
     os.makedirs(os.path.join(root, "models", cls), exist_ok=True)
     os.makedirs(os.path.join(root, "frames"), exist_ok=True)
 
-    # --- model mesh: subdiv-4 icosphere (2562 verts), banded pseudo-texture;
-    # the dataset loader will simplify to its 2048v/4096f budget at load.
-    mesh = make_icosphere(4, args.object_scale)
+    # --- model mesh: subdiv-4 icosphere (2562 verts) or an elongated
+    # capsule (same vert budget), banded pseudo-texture; the dataset loader
+    # will simplify to its 2048v/4096f budget at load.
+    if args.shape == "capsule":
+        # r = scale/2 -> 2.5*scale long x 1*scale wide (2.5:1 elongation).
+        mesh = make_capsule(4, args.object_scale * 0.5)
+    else:
+        mesh = make_icosphere(4, args.object_scale)
     with open(os.path.join(root, "models", cls, "textured.obj"), "w") as f:
         for v, c in zip(mesh.verts, mesh.vert_colors):
             f.write(f"v {v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n")
@@ -186,6 +204,36 @@ def main(argv=None):
     with open(init_path, "wb") as f:
         pickle.dump(init_poses, f)
 
+    if args.occ:
+        # Occlusion-LINEMOD eval variant (reference
+        # `config/linemod/template_fw0.5_occ.yml:162-164` +
+        # `data/linemod_dataset.py:346-352`): PVNet init poses live in the
+        # BLENDER camera frame and the loader converts them to the BOP
+        # frame via  R_bop = R_bl @ C_R^T ;  t_bop = -R_bop @ C_t + t_bl.
+        # Emit blender-frame poses CONSTRUCTED so that conversion lands on
+        # the same noisy inits as the PoseCNN pickle above (inverse map:
+        # R_bl = R_bop @ C_R ;  t_bl = t_bop + R_bop @ C_t), so an eval run
+        # through the occ path is directly comparable.
+        conv = np.eye(4, dtype=np.float32)
+        conv[:3, :3] = Rotation.from_euler(
+            "xyz", [180.0, 0.0, 90.0], degrees=True
+        ).as_matrix()  # a blender->bop-style axis flip (z-up to y-down)
+        conv[:3, 3] = [0.004, -0.002, 0.003]
+        occ_init = {}
+        for k, f_ in enumerate(eval_frames):
+            T_bop = noisy[k]
+            R_bl = T_bop[:3, :3] @ conv[:3, :3]
+            t_bl = T_bop[:3, 3] + T_bop[:3, :3] @ conv[:3, 3]
+            occ_init[f_["index"]] = np.concatenate(
+                [R_bl, t_bl[:, None]], axis=1
+            ).astype(np.float32)
+        occ_npy = os.path.join(root, f"pvnet_{cls}occ_test.npy")
+        np.save(occ_npy, {cls: occ_init}, allow_pickle=True)
+        b2b_npy = os.path.join(root, "blender2bop_RT.npy")
+        np.save(b2b_npy, {cls: conv}, allow_pickle=True)
+        with open(os.path.join(root, f"{cls}_test_occ.info"), "wb") as f:
+            pickle.dump({cls: eval_frames}, f)
+
     # Ready-to-run trainer config at the shipping operating point.
     cfg = {
         "train_config": {"steps": args.steps, "steps_per_eval": 1000},
@@ -215,6 +263,17 @@ def main(argv=None):
     cfg_path = os.path.join(root, "train_config.yml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
+    if args.occ:
+        import copy
+
+        cfg_occ = copy.deepcopy(cfg)
+        ek = cfg_occ["eval_input_reader"]["dataset"]["kwargs"]
+        ek["info_paths"] = [os.path.join(root, f"{cls}_test_occ.info")]
+        ek["init_pose_type"] = "PVNET_LINEMOD_OCC"
+        ek["init_pose_paths"] = {"PVNET_LINEMOD_OCC": occ_npy}
+        ek["blender_to_bop_path"] = b2b_npy
+        with open(os.path.join(root, "eval_config_occ.yml"), "w") as f:
+            yaml.safe_dump(cfg_occ, f)
     print(f"wrote {len(train_frames)} train + {len(eval_frames)} eval frames")
     print(f"config: {cfg_path}")
     return cfg_path
