@@ -34,7 +34,7 @@ REFERENCE_FPS = 10.0
 PEAK_TFLOPS_BF16 = 197.0
 
 
-def measure_fps(batch_size: int):
+def measure_fps(batch_size: int, render_iters: int = None, gru_iters: int = None):
     import jax
     import jax.numpy as jnp
 
@@ -53,10 +53,18 @@ def measure_fps(batch_size: int):
         kp_dl=0.006,
     )
     inputs, kp_cfg = make_synthetic_inputs(syn_cfg, with_corr=False)
+    refiner = RefinerConfig()  # shipping 3 x 4 x 1 at 240
+    if render_iters or gru_iters:
+        # iteration-budget override (tools/budget_frontier.py grid points)
+        refiner = dataclasses.replace(
+            refiner,
+            render_iters=render_iters or refiner.render_iters,
+            gru_iters=gru_iters or refiner.gru_iters,
+        )
     cfg = RNNPoseConfig(
         desc_kp=dataclasses.replace(kp_cfg, final_feats_dim=32, first_feats_dim=128, gnn_feats_dim=128),
         ctx_kp=dataclasses.replace(kp_cfg, final_feats_dim=256, first_feats_dim=128, gnn_feats_dim=128, normalize_output=False),
-        refiner=RefinerConfig(),  # full 3 x 4 x 1 at 240
+        refiner=refiner,
     )
     inputs = jax.tree.map(jnp.asarray, inputs)
 
@@ -149,11 +157,15 @@ def measure_fps(batch_size: int):
 
     # Asymptotic long-chain measurement: short chains are dominated by
     # startup/queueing through the relay (chain-10 reads ~2x slower per frame
-    # than chain-160); 40+ frames reaches the plateau. Best-of-2 guards
-    # against relay load spikes (contention only ever slows).
+    # than chain-160); 40+ frames reaches the plateau. Best-of-3 guards
+    # against relay load spikes (contention only ever slows); the per-repeat
+    # readings are reported so every quoted fps carries a variance bound
+    # (BENCHLOG protocol; a 5% cross-run drift at B=1 went unexplained in
+    # round 4 because single captures carried no spread).
     measure(8)  # queue warmup
-    dt = min(measure(40) for _ in range(2))
-    return inputs.image.shape[0] / dt, gflops_per_frame
+    B = inputs.image.shape[0]
+    reps = [B / measure(40) for _ in range(3)]
+    return max(reps), gflops_per_frame, reps
 
 
 def main():
@@ -168,6 +180,11 @@ def main():
     results = {b: measure_fps(b) for b in (1, 8)}
     fps_by_batch = {b: r[0] for b, r in results.items()}
     gflops_by_batch = {b: r[1] for b, r in results.items()}
+    reps_by_batch = {b: r[2] for b, r in results.items()}
+
+    def _spread_pct(b):
+        reps = reps_by_batch[b]
+        return round(100.0 * (max(reps) - min(reps)) / max(reps), 2)
     best_b = max(fps_by_batch, key=fps_by_batch.get)
     fps = fps_by_batch[best_b]
 
@@ -193,6 +210,10 @@ def main():
                 "batch_size": best_b,
                 "fps_b1": round(fps_by_batch[1], 3),
                 "fps_b8": round(fps_by_batch[8], 3),
+                "fps_b1_runs": [round(x, 2) for x in reps_by_batch[1]],
+                "fps_b8_runs": [round(x, 2) for x in reps_by_batch[8]],
+                "fps_b1_spread_pct": _spread_pct(1),
+                "fps_b8_spread_pct": _spread_pct(8),
                 "gflops_per_frame_b1": round(gflops_by_batch[1], 2),
                 "gflops_per_frame_b8": round(gflops_by_batch[8], 2),
                 "achieved_tflops_b1": ach1,

@@ -58,6 +58,14 @@ def parse_args(argv=None):
                         "descriptor head at 1/2 res with the same params — "
                         "~49%% of eval FLOPs — A/B'd metric-identical on "
                         "the trained sustained-run ckpt (BENCHLOG r4 #6).")
+    p.add_argument("--render_iters", type=int, default=None,
+                   help="override the outer render-iteration budget "
+                        "(default from config: 3). With --gru_iters this "
+                        "walks the accuracy-vs-iteration-budget frontier "
+                        "(tools/budget_frontier.py measures it wholesale).")
+    p.add_argument("--gru_iters", type=int, default=None,
+                   help="override the inner GRU/LM iteration budget "
+                        "(default from config: 4)")
     p.add_argument("--parity", action="store_true",
                    help="reference-exact operating mode: full-res LM "
                         "residuals + similarity weighting, f32 everywhere "
@@ -407,10 +415,18 @@ def main(argv=None):
 
         model_cfg = apply_parity_preset(model_cfg)
     if args.desc_tail_res is not None:
-        import dataclasses as _dc
-
-        model_cfg = _dc.replace(
+        model_cfg = dataclasses.replace(
             model_cfg, desc2d_eval_tail_res=args.desc_tail_res
+        )
+    if args.render_iters is not None or args.gru_iters is not None:
+        ref = model_cfg.refiner
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            refiner=dataclasses.replace(
+                ref,
+                render_iters=args.render_iters or ref.render_iters,
+                gru_iters=args.gru_iters or ref.gru_iters,
+            ),
         )
 
     model = RNNPose(model_cfg)
