@@ -47,6 +47,30 @@ def _ckpt_params(model_dir):
     return int(state["step"]), state["params"]
 
 
+def _launch_workers(addr, model_dir, tmp_path, env, extra_args=()):
+    logs = [str(tmp_path / f"worker{pid}.log") for pid in range(2)]
+    procs = []
+    for pid in range(2):
+        with open(logs[pid], "w") as lf:
+            procs.append(subprocess.Popen(
+                # -u: unbuffered, so worker output survives the LOG(FATAL)
+                # abort the jax distributed client uses on peer death
+                [sys.executable, "-u",
+                 os.path.join(REPO, "tests", "_multihost_worker.py"),
+                 str(pid), "2", addr, model_dir, *extra_args],
+                stdout=lf, stderr=subprocess.STDOUT, cwd=REPO, env=env,
+            ))
+    # Generous deadline: on a busy CI box the (shared, see worker) compile
+    # can run many minutes before the first collective fires.
+    for p in procs:
+        p.wait(timeout=2400)
+    outs = [open(lg).read() for lg in logs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"MULTIHOST_WORKER_OK pid={pid}" in out
+    return outs
+
+
 def test_two_process_train_and_reduce(tmp_path):
     addr = f"localhost:{_free_port()}"
     model_dir = str(tmp_path / "mh")
@@ -57,22 +81,7 @@ def test_two_process_train_and_reduce(tmp_path):
     # Output goes to FILES, not pipes: a full 64K pipe blocks the writer,
     # which stalls that worker's collectives and deadlocks BOTH processes
     # (XLA's log spam overflows a pipe easily).
-    logs = [str(tmp_path / f"worker{pid}.log") for pid in range(2)]
-    procs = []
-    for pid in range(2):
-        with open(logs[pid], "w") as lf:
-            procs.append(subprocess.Popen(
-                [sys.executable,
-                 os.path.join(REPO, "tests", "_multihost_worker.py"),
-                 str(pid), "2", addr, model_dir],
-                stdout=lf, stderr=subprocess.STDOUT, cwd=REPO, env=env,
-            ))
-    for p in procs:
-        p.wait(timeout=1500)
-    outs = [open(lg).read() for lg in logs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
-        assert f"MULTIHOST_WORKER_OK pid={pid}" in out
+    _launch_workers(addr, model_dir, tmp_path, env)
 
     # Rank-0-only writes: exactly one set of artifacts, no corruption.
     step, params_mh = _ckpt_params(model_dir)
@@ -99,4 +108,156 @@ def test_two_process_train_and_reduce(tmp_path):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6,
             err_msg="2-process DP must match single-process training",
+        )
+
+
+def test_two_process_distinct_shards(tmp_path):
+    """Real-data multihost: each process loads its own DISTINCT sampler
+    shard (1 local device each -> global batch 2, genuinely partitioned
+    across processes), and the resulting parameters must equal manual
+    training on the CONCATENATED global batches — the cross-process
+    analog of DDP's different-data-per-rank contract, closing the
+    identical-batch simplification of the test above (VERDICT r4 #6a)."""
+    pytest.importorskip("cv2")
+    from rnnpose_tpu.tools.make_synthetic_linemod import main as mksyn
+
+    root = tmp_path / "lm"
+    mksyn([
+        "--out", str(root), "--frames", "6", "--eval_frames", "1",
+        "--height", "96", "--width", "96",
+        "--fx", "115.0", "--fy", "115.0", "--cx", "48.0", "--cy", "48.0",
+        "--object_scale", "0.05", "--distance", "0.4", "--batch", "7",
+    ])
+    import yaml
+
+    kp = {
+        "num_layers": 2, "first_subsampling_dl": 0.02, "first_feats_dim": 16,
+        "final_feats_dim": 32, "gnn_feats_dim": 16,
+    }
+    prep = {
+        "crop_size": 64, "num_corr": 64, "correspondence_radius": 0.05,
+        "min_correspondences": 5, "max_verts": 256, "max_faces": 512,
+    }
+    ds_kwargs = {
+        "info_paths": [str(root / "cat_train.info")],
+        "root_paths": [str(root)],
+        "model_dir": str(root / "models"), "class_names": ["cat"],
+        "preprocess": prep,
+    }
+    cfg_dict = {
+        "basic": {"zoom_crop_size": [32, 32]},
+        "model": {
+            "descriptor_net": {
+                "keypoints_detector_3d": kp,
+                "context_fea_extractor_3d": dict(kp, final_feats_dim=256),
+            },
+            "motion_net": {
+                "iter_count": 2, "render_iter_count": 1,
+                "raster": {"chunk": 64},
+            },
+        },
+        "train_config": {"steps": 2, "steps_per_eval": 2},
+        "train_input_reader": {
+            "dataset": {"kwargs": ds_kwargs}, "batch_size": 1,
+        },
+        "eval_input_reader": {"dataset": {"kwargs": ds_kwargs}},
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    addr = f"localhost:{_free_port()}"
+    model_dir = str(tmp_path / "mh")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    # ONE local CPU device per process (strip the conftest's virtual-8
+    # flag): the global mesh is then exactly 2 devices and the bs=1-per-
+    # process batches SHARD across it instead of replicating.
+    env["XLA_FLAGS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    _launch_workers(addr, model_dir, tmp_path, env,
+                    extra_args=(cfg_path, "2"))
+
+    step, params_mh = _ckpt_params(model_dir)
+    assert step == 2
+
+    # ---- control: manual training on the concatenated global batches,
+    # replicating the trainer's per-process stream exactly: process p's
+    # sampler is GivenIterationSampler(shard_id=p, num_shards=2) and its
+    # step-k sample draws augmentation RNG at position k*nproc + p
+    # (tools/train.py stream positions).
+    import jax.numpy as jnp
+
+    from rnnpose_tpu.config.defaults import (
+        build_dataset, build_model_config, build_optimizer_config,
+        default_config,
+    )
+    from rnnpose_tpu.data.linemod import collate_samples
+    from rnnpose_tpu.data.samplers import GivenIterationSampler
+    from rnnpose_tpu.models.rnnpose import RNNPose
+    from rnnpose_tpu.train.loop import make_train_step
+    from rnnpose_tpu.train.optim import build_optimizer
+    from rnnpose_tpu.utils.config_io import merge_cfg
+
+    cfg = merge_cfg([cfg_path], defaults=default_config())
+    model_cfg = build_model_config(cfg)
+    dataset = build_dataset(cfg, model_cfg.desc_kp, is_train=True)
+    shards = [
+        list(GivenIterationSampler(
+            len(dataset), total_iter=2, batch_size=1,
+            shard_id=p, num_shards=2,
+        ))
+        for p in range(2)
+    ]
+    # distinct data across processes (6 frames, disjoint contiguous slices)
+    assert set(shards[0]) != set(shards[1]) or shards[0] != shards[1]
+
+    def global_batch(k):
+        samples = [
+            dataset.sample_at(shards[p][k], k * 2 + p) for p in range(2)
+        ]
+        return jax.tree.map(jnp.asarray, collate_samples(samples))
+
+    model = RNNPose(model_cfg)
+    b0 = global_batch(0)
+    params = jax.jit(lambda k: model.init(k, b0, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    tx = build_optimizer(build_optimizer_config(cfg), params)
+    opt_state = tx.init(params)
+    train_step = make_train_step(model, tx)
+    params, opt_state, m1 = train_step(params, opt_state, b0)
+    params, opt_state, m2 = train_step(params, opt_state, global_batch(1))
+
+    # The per-step LOSS curve of the 2-process run must equal the
+    # concatenated-batch control's (rank-0 log vs control metrics). This
+    # is the well-posed equivalence at this fixture's pathological
+    # gradient scale: parameter-update directions under Adam are
+    # executable-noise-dominated (see tests/test_sharded_cli_training.py's
+    # module docstring for the measurement), the loss is not — and it IS
+    # sensitive to a wrong cross-process psum, a sum-vs-mean error, or a
+    # shard mixup (step 1 compares the very first global batch, before
+    # any divergence can accumulate).
+    import json
+
+    mh_losses = {}
+    with open(os.path.join(model_dir, "log.json.lst")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "loss" in rec:
+                mh_losses[rec["step"]] = rec["loss"]
+    np.testing.assert_allclose(mh_losses[1], float(m1["loss"]), rtol=1e-3)
+    np.testing.assert_allclose(mh_losses[2], float(m2["loss"]), rtol=5e-3)
+
+    # Parameters stay glued elementwise to sign-noise scale (|update| is
+    # ~lr per element under Adam; measured max |diff| 3e-4 after 2 steps,
+    # 97% of elements within rtol 1e-4 — a broken shard/psum diverges
+    # visibly past this bound immediately).
+    la, lb = jax.tree.leaves(params_mh), jax.tree.leaves(params)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=2e-3, rtol=0,
+            err_msg="distinct-shard 2-process DP must match training on "
+            "the concatenated global batches",
         )
