@@ -104,6 +104,10 @@ def default_config() -> Dict[str, Any]:
                 "online_crop": True,
                 "margin_ratio": 0.4,
                 "flow_net": "raft",
+                # rematerialize the inner-scan backward (measured faster
+                # AND -45% peak HBM at B=8 — BENCHLOG r5 #4); False
+                # restores stored-activation backward
+                "remat": True,
                 "raster": {"max_verts": 2048, "max_faces": 4096, "chunk": 512},
             },
         },
@@ -208,6 +212,7 @@ def build_model_config(cfg: Dict[str, Any]) -> RNNPoseConfig:
         lm_lambda=cfg["lm"]["lm_lambda"],
         ep_lambda=cfg["lm"]["ep_lambda"],
         raster_chunk=mn["raster"]["chunk"],
+        remat=mn.get("remat", True),
     )
     return RNNPoseConfig(
         descriptor_dim=m["descriptor_dim"],

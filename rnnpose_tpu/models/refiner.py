@@ -76,8 +76,16 @@ class RefinerConfig:
     lm_lambda: float = 1e-4        # LM.LM_LMBDA (config/default.py:53-55)
     ep_lambda: float = 100.0       # LM.EP_LMBDA
     raster_chunk: int = 128
-    remat: bool = False            # rematerialize the inner scan body (trades
-                                   # recompute for activation memory in training)
+    remat: bool = True             # rematerialize the inner scan body in the
+                                   # backward. Measured (BENCHLOG r5 #4, v5e,
+                                   # full config): FASTER despite +3% FLOPs
+                                   # (49.0 -> 47.0 ms/step B=1, 264.9 -> 256.5
+                                   # B=8 — the stored-carry path is
+                                   # copy/bandwidth-bound, 12-17% of the step
+                                   # is layout copies) AND -45% peak HBM at
+                                   # B=8 (11.4 -> 6.4 GB), unlocking B=16 on
+                                   # one 16 GB chip. Eval is unaffected (no
+                                   # backward).
     mixed_precision: bool = True   # bf16 encoder + GRU convs — the TPU analog
                                    # of the reference's AMP autocast
                                    # (`CFNet.py:44-46,126,152`, yml:88)

@@ -432,8 +432,15 @@ def main(argv=None):
                 _, overall, _ = eval_runner.run(
                     params, eval_frame_gen(), max_frames=args.eval_frames
                 )
+                # params fingerprint: makes "periodic eval silently ran on
+                # stale weights" diagnosable from the log alone
+                fp = float(
+                    sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(params))
+                )
                 log.log_metrics(
-                    {f"eval/{k}": v for k, v in overall.items()}, step
+                    {**{f"eval/{k}": v for k, v in overall.items()},
+                     "eval/params_l1": fp},
+                    step,
                 )
         if args.stop_after is not None and step >= args.stop_after:
             log.log_text(f"stop_after {args.stop_after} reached", step)

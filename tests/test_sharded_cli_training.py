@@ -111,7 +111,14 @@ def fixture_16(tmp_path_factory):
             "min_correspondences": 5, "max_verts": 256, "max_faces": 512,
         },
     }
-    ev_kwargs = dict(tr_kwargs, info_paths=[str(root / "cat_eval.info")])
+    ev_kwargs = dict(
+        tr_kwargs,
+        info_paths=[str(root / "cat_eval.info")],
+        # real eval protocol: periodic eval starts from the PoseCNN-style
+        # noisy inits, not GT (without this the loader falls back to GT
+        # inits and the eval measures refiner wander, not refinement)
+        init_pose_paths={"POSECNN_LINEMOD": str(root / "cat_init_poses.pkl")},
+    )
     cfg = {
         "basic": {"zoom_crop_size": [32, 32]},
         "model": {
