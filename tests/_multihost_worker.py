@@ -62,14 +62,22 @@ def main():
 
     argv = [
         "--model_dir", model_dir,
-        "--steps", steps, "--display_step", "1", "--eval_frames", "0",
+        "--steps", steps, "--display_step", "1",
         "--multihost", "--coordinator_address", addr,
         "--num_processes", str(nproc), "--process_id", str(pid),
     ]
     if cfg_path is None:
-        argv += ["--synthetic", "--syn_image_size", "64", "--syn_zoom", "32"]
+        argv += ["--synthetic", "--syn_image_size", "64", "--syn_zoom", "32",
+                 "--eval_frames", "0"]
     else:
-        argv += ["--config_path", cfg_path, "--loader_threads", "0"]
+        # Periodic eval ON under multihost (the round-4 advisor's crash
+        # path: eval inputs on a local-devices placement while trainer
+        # params sit on the global mesh — EvalRunner re-places params per
+        # run). With eval_frames=1 the process-strided stream gives
+        # process 0 one frame and process 1 ZERO frames — exercising the
+        # zero-frame-host branch of weighted_reduce_metrics in-training.
+        argv += ["--config_path", cfg_path, "--loader_threads", "0",
+                 "--eval_frames", "1", "--eval_batch", "2"]
     train_main(argv)
 
     assert jax.process_count() == nproc, jax.process_count()

@@ -144,6 +144,14 @@ def test_two_process_distinct_shards(tmp_path):
         "model_dir": str(root / "models"), "class_names": ["cat"],
         "preprocess": prep,
     }
+    # eval reader: the 1-frame held-out split with noisy inits — with 2
+    # process-strided hosts, process 1 then evaluates ZERO frames (the
+    # advisor's zero-frame-host reduction scenario).
+    ev_kwargs = dict(
+        ds_kwargs,
+        info_paths=[str(root / "cat_eval.info")],
+        init_pose_paths={"POSECNN_LINEMOD": str(root / "cat_init_poses.pkl")},
+    )
     cfg_dict = {
         "basic": {"zoom_crop_size": [32, 32]},
         "model": {
@@ -160,7 +168,7 @@ def test_two_process_distinct_shards(tmp_path):
         "train_input_reader": {
             "dataset": {"kwargs": ds_kwargs}, "batch_size": 1,
         },
-        "eval_input_reader": {"dataset": {"kwargs": ds_kwargs}},
+        "eval_input_reader": {"dataset": {"kwargs": ev_kwargs}},
     }
     cfg_path = str(tmp_path / "cfg.yml")
     with open(cfg_path, "w") as f:
@@ -180,6 +188,19 @@ def test_two_process_distinct_shards(tmp_path):
 
     step, params_mh = _ckpt_params(model_dir)
     assert step == 2
+    # Periodic eval ran cross-process (advisor r4 #1/#2: global-mesh
+    # params re-placed for local eval inputs; zero-frame host reduced
+    # correctly) and logged metrics on rank 0.
+    import json as _json
+
+    with open(os.path.join(model_dir, "log.json.lst")) as f:
+        recs = [_json.loads(l) for l in f]
+    eval_recs = [r for r in recs if any(k.startswith("eval/") for k in r)]
+    assert eval_recs, "multihost periodic eval produced no metrics"
+    # eval_frames=1 + process-striding: process 0 evaluates 1 frame,
+    # process 1 evaluates ZERO — the reduced seq_len of 1 proves the
+    # zero-frame host contributed an identity (not a crash, not a skew).
+    assert eval_recs[-1]["eval/seq_len"] == 1
 
     # ---- control: manual training on the concatenated global batches,
     # replicating the trainer's per-process stream exactly: process p's
