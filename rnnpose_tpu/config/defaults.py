@@ -104,10 +104,11 @@ def default_config() -> Dict[str, Any]:
                 "online_crop": True,
                 "margin_ratio": 0.4,
                 "flow_net": "raft",
-                # rematerialize the inner-scan backward (measured faster
-                # AND -45% peak HBM at B=8 — BENCHLOG r5 #4); False
-                # restores stored-activation backward
-                "remat": True,
+                # rematerialize the inner-scan backward: -44% peak HBM at
+                # B=8 and ~3% faster steps, but measured to DEGRADE
+                # learning in a same-seed overfit A/B (BENCHLOG r5 #4) —
+                # opt-in memory knob, off by default
+                "remat": False,
                 "raster": {"max_verts": 2048, "max_faces": 4096, "chunk": 512},
             },
         },
@@ -212,7 +213,7 @@ def build_model_config(cfg: Dict[str, Any]) -> RNNPoseConfig:
         lm_lambda=cfg["lm"]["lm_lambda"],
         ep_lambda=cfg["lm"]["ep_lambda"],
         raster_chunk=mn["raster"]["chunk"],
-        remat=mn.get("remat", True),
+        remat=mn.get("remat", False),
     )
     return RNNPoseConfig(
         descriptor_dim=m["descriptor_dim"],

@@ -76,16 +76,21 @@ class RefinerConfig:
     lm_lambda: float = 1e-4        # LM.LM_LMBDA (config/default.py:53-55)
     ep_lambda: float = 100.0       # LM.EP_LMBDA
     raster_chunk: int = 128
-    remat: bool = True             # rematerialize the inner scan body in the
-                                   # backward. Measured (BENCHLOG r5 #4, v5e,
-                                   # full config): FASTER despite +3% FLOPs
+    remat: bool = False            # rematerialize the inner scan body in the
+                                   # backward. Measured on v5e (BENCHLOG r5
+                                   # #4): slightly FASTER despite +3% FLOPs
                                    # (49.0 -> 47.0 ms/step B=1, 264.9 -> 256.5
-                                   # B=8 — the stored-carry path is
-                                   # copy/bandwidth-bound, 12-17% of the step
-                                   # is layout copies) AND -45% peak HBM at
-                                   # B=8 (11.4 -> 6.4 GB), unlocking B=16 on
-                                   # one 16 GB chip. Eval is unaffected (no
-                                   # backward).
+                                   # B=8) and -44% peak training HBM at B=8
+                                   # (11.4 -> 6.4 GB; B=16 fits one chip) —
+                                   # BUT a controlled same-seed overfit A/B
+                                   # showed it DEGRADES learning (held-out ADD
+                                   # ratio 0.63 -> 0.91 at 150 steps; the
+                                   # replayed backward is not gradient-neutral
+                                   # for this recurrence at f32/bf16), so it
+                                   # stays OFF by default: an opt-in MEMORY
+                                   # knob (model.motion_net.remat) for batch
+                                   # scaling, not a free speed win. Eval is
+                                   # unaffected (no backward).
     mixed_precision: bool = True   # bf16 encoder + GRU convs — the TPU analog
                                    # of the reference's AMP autocast
                                    # (`CFNet.py:44-46,126,152`, yml:88)

@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--zoom", type=int, default=120)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lm_res", type=str, default="full")
+    p.add_argument("--remat", choices=("default", "on", "off"),
+                   default="default",
+                   help="override RefinerConfig.remat for backward-memory "
+                   "ablations (default: the library default)")
     # Fixture scale knobs (CI uses a reduced fixture: the full one needs
     # ~15+ s/step on the 1-core CPU box).
     p.add_argument("--num_verts", type=int, default=512)
@@ -95,6 +99,8 @@ def main(argv=None):
         refiner=RefinerConfig(
             zoom_crop_size=args.zoom, lm_res=args.lm_res,
             render_iters=args.render_iters, gru_iters=args.gru_iters,
+            **({} if args.remat == "default"
+               else {"remat": args.remat == "on"}),
         ),
     )
     model = RNNPose(cfg)
